@@ -1,0 +1,176 @@
+"""Scalar text functions (SURVEY.md §2.8 C1–C6) and token joining (A2).
+
+Semantics follow the reference (file:line cited per function); implementation
+is original and batch-friendly (module-level compiled regexes, translation
+tables instead of dict-lookup loops where possible).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import List, Optional, Tuple
+
+# --- C1: /cNNN character-code decode (sequential_parser.py:977-1092) ---------
+# Some PDFs store glyphs as "/c<decimal>" with Windows-1250 (Central European)
+# code values for Slovak characters; the override map below reproduces the
+# reference's 70-entry table exactly (it IS the Windows-1250 high range).
+
+_WIN1250_OVERRIDE = {
+    138: "Š", 140: "Ś", 141: "Ť", 142: "Ž", 150: "–", 154: "š", 156: "ś",
+    157: "ť", 158: "ž", 159: "ź", 165: "Ą", 169: "©", 175: "Ż", 179: "ł",
+    185: "ą", 188: "Ľ", 189: "˝", 190: "ľ", 191: "ż", 192: "Ŕ", 193: "Á",
+    194: "Â", 195: "Ă", 196: "Ä", 197: "Ĺ", 198: "Ć", 199: "Ç", 200: "Č",
+    201: "É", 202: "Ę", 203: "Ë", 204: "Ě", 205: "Í", 206: "Î", 207: "Ď",
+    208: "Đ", 209: "Ń", 210: "Ň", 211: "Ó", 212: "Ô", 213: "Ő", 214: "Ö",
+    215: "×", 216: "Ř", 217: "Ů", 218: "Ú", 219: "Ű", 220: "Ü", 221: "Ý",
+    222: "Ţ", 223: "ß", 224: "ŕ", 225: "á", 226: "â", 227: "ă", 228: "ä",
+    229: "ĺ", 230: "ć", 231: "ç", 232: "č", 233: "é", 234: "ę", 235: "ë",
+    236: "ě", 237: "í", 238: "î", 239: "ď", 240: "đ", 241: "ń", 242: "ň",
+    243: "ó", 244: "ô", 245: "ő", 246: "ö", 247: "÷", 248: "ř", 249: "ů",
+    250: "ú", 251: "ű", 252: "ü", 253: "ý", 254: "ţ", 255: "˙",
+}
+
+_CCODE_RE = re.compile(r"/c(\d+)")
+
+
+def _decode_one_code(m: re.Match) -> str:
+    try:
+        cp = int(m.group(1))
+    except (ValueError, OverflowError):
+        return m.group(0)
+    if cp in _WIN1250_OVERRIDE:
+        return _WIN1250_OVERRIDE[cp]
+    try:
+        return chr(cp)
+    except (ValueError, OverflowError):
+        return m.group(0)
+
+
+def decode_character_codes(text: Optional[str]) -> Optional[str]:
+    if not text or "/c" not in text:
+        return text
+    return _CCODE_RE.sub(_decode_one_code, text)
+
+
+# --- C2: normalization for fuzzy matching (sequential_parser.py:1227-1247) ---
+
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_text_for_matching(text: str) -> str:
+    lowered = text.lower()
+    decomposed = unicodedata.normalize("NFD", lowered)
+    stripped = "".join(c for c in decomposed if not unicodedata.combining(c))
+    return _WS_RE.sub(" ", stripped).strip()
+
+
+# --- C3: NBSP normalization (sequential_parser.py:2358-2360) ------------------
+
+_NBSP_TABLE = str.maketrans({"\xa0": " "})
+
+
+def normalize_nbsp(text: Optional[str]) -> str:
+    if text is None:
+        return ""
+    return text.translate(_NBSP_TABLE).strip()
+
+
+# --- A2: token joining with punctuation rules (sequential_parser.py:836-874) --
+
+_PURE_PUNCT = {".", ",", ";", ":", ")", "(", "?", "!", "»", "«"}
+_NOSPACE_BEFORE = set(".,;:)]!?")
+_FIX_SPACE_PUNCT_RE = re.compile(r"\s+([,.])")
+
+
+def join_tokens(tokens: List[Optional[str]]) -> str:
+    """Join docling-style text fragments into one sentence with the
+    reference's spacing heuristics: pure punctuation and punctuation-leading
+    tokens attach without a space; nothing after '('; then legal-text fixups.
+    """
+    out = ""
+    for tok in tokens:
+        tok = (tok or "").strip()
+        if not tok:
+            continue
+        if not out:
+            out = tok
+            continue
+        if tok in _PURE_PUNCT or tok[0] in _NOSPACE_BEFORE or out.endswith("("):
+            out += tok
+        else:
+            out += " " + tok
+    out = out.replace("120 )", "120)").replace("č. 1 .", "č. 1.")
+    return _FIX_SPACE_PUNCT_RE.sub(r"\1", out)
+
+
+# --- C4: cross-reference extraction (sequential_parser.py:688-737) ------------
+
+_REF_PATTERNS = [
+    ("paragraph", re.compile(r"§\s*(\d+[a-zA-Z]*)")),
+    ("odsek", re.compile(r"odsek[u]?\s+(\d+(?:\.\d+)?)", re.IGNORECASE)),
+    ("pismeno", re.compile(r"písm(?:\.|en[ea])\s+([a-z]+)\)", re.IGNORECASE)),
+]
+
+
+def extract_references_from_text(text: str) -> List[Tuple[str, str, int]]:
+    """Return [(ref_type, value, position)] for §/odsek/pismeno references."""
+    refs: List[Tuple[str, str, int]] = []
+    for ref_type, pat in _REF_PATTERNS:
+        for m in pat.finditer(text):
+            refs.append((ref_type, m.group(1), m.start()))
+    refs.sort(key=lambda r: (r[2], r[0]))
+    return refs
+
+
+# --- C5: footnote-reference extraction (sequential_parser.py:740-791) ---------
+
+_SUPERSCRIPTS = "⁰¹²³⁴⁵⁶⁷⁸⁹"
+_SUP_MAP = {c: str(i) for i, c in enumerate(_SUPERSCRIPTS)}
+_FOOTNOTE_REF_PATTERNS = [
+    re.compile(r"\[(\d+[a-z]*)\]"),
+    re.compile(rf"([{_SUPERSCRIPTS}]+)"),
+]
+
+
+def extract_footnotes_from_text(text: str) -> List[Tuple[str, int]]:
+    refs: List[Tuple[str, int]] = []
+    for pat in _FOOTNOTE_REF_PATTERNS:
+        for m in pat.finditer(text):
+            val = m.group(1)
+            if val and val[0] in _SUP_MAP:
+                val = "".join(_SUP_MAP.get(c, "") for c in val)
+            refs.append((val, m.start()))
+    refs.sort(key=lambda r: r[1])
+    return refs
+
+
+# --- C6: hyperlink target parse (sequential_parser.py:794-829) -----------------
+
+_POINTER_RE = re.compile(r"^#/(tables|pictures|texts|groups)/(\d+)$")
+
+
+def parse_pointer(media_ref: Optional[str]) -> Optional[Tuple[str, int]]:
+    """'#/tables/5' → ('tables', 5); None for non-pointer refs."""
+    if not media_ref:
+        return None
+    m = _POINTER_RE.match(str(media_ref))
+    return (m.group(1), int(m.group(2))) if m else None
+
+
+# --- geometry codec for pdf_cell spans (FIXTURES.md §1 media_ref format) -------
+
+_GEOM_RE = re.compile(r"p=(\d+);l=([\d.+-eE]+);t=([\d.+-eE]+)")
+
+
+def encode_geometry(page: int, left: float, top: float) -> str:
+    return f"p={page};l={left:g};t={top:g}"
+
+
+def parse_geometry(media_ref: Optional[str]) -> Optional[Tuple[int, float, float]]:
+    if not media_ref:
+        return None
+    m = _GEOM_RE.match(str(media_ref))
+    if not m:
+        return None
+    return (int(m.group(1)), float(m.group(2)), float(m.group(3)))

@@ -1,0 +1,214 @@
+"""Stage 2 — HTML DOM extraction + boilerplate strip (SURVEY.md §2.1 S2,
+§2.2 F13/F14).
+
+The reference extracts slov-lex HTML with BeautifulSoup selectors
+(/root/reference/annex_processor.py:267-334, sequential_parser.py:4548-4661)
+after IBM Docling has flattened the DOM into a reading-order item stream.
+Here we do the flatten ourselves with the stdlib parser: the extractor turns
+one HTML payload into the flat `(kind, text, media_ref)` span stream that the
+hierarchy state machine consumes — identical in role to docling's HTML
+backend, original in implementation.
+
+Runs document-batched inside mapInPandas: one call per HTML payload, many
+payloads per Arrow batch — never per inner element across rows.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Tuple
+
+Span = Tuple[str, str, Optional[str]]  # (kind, text, media_ref)
+
+# slov-lex structural classes → emitted span behavior.
+_MARKER_CLASSES = {
+    "castOznacenie",
+    "paragrafOznacenie",
+    "odsekOznacenie",
+    "pismenoOznacenie",
+    "bodOznacenie",
+    "prilohaOznacenie",
+    "poznamkaOznacenie",
+}
+_HEADING_CLASSES = {"castNadpis", "paragrafNadpis", "nadpis", "NADPIS"}
+_FURNITURE_CLASSES = {"menu", "footer", "header", "navigacia", "toolbar"}
+
+_WS_RE = re.compile(r"[ \t\r\n]+")
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "text_parts")
+
+    def __init__(self, tag: str, attrs: Dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: List["_Node"] = []
+        self.text_parts: List[Tuple[int, str]] = []  # (child_slot, text)
+
+
+class _TreeBuilder(HTMLParser):
+    """Minimal DOM builder on the stdlib tokenizer (no external deps)."""
+
+    _VOID = {"img", "br", "hr", "meta", "link", "input"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {})
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs))
+        self._stack[-1].children.append(node)
+        if tag not in self._VOID:
+            self._stack.append(node)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        top = self._stack[-1]
+        top.text_parts.append((len(top.children), data))
+
+
+def _node_text(node: _Node) -> str:
+    """All text under node, document order, whitespace-collapsed."""
+    out: List[str] = []
+
+    def walk(n: _Node) -> None:
+        parts = dict_groupby(n.text_parts)
+        for slot in range(len(n.children) + 1):
+            for t in parts.get(slot, ()):
+                out.append(t)
+            if slot < len(n.children):
+                walk(n.children[slot])
+
+    walk(node)
+    return _WS_RE.sub(" ", "".join(out)).strip()
+
+
+def dict_groupby(pairs: List[Tuple[int, str]]) -> Dict[int, List[str]]:
+    d: Dict[int, List[str]] = {}
+    for k, v in pairs:
+        d.setdefault(k, []).append(v)
+    return d
+
+
+def _first_href(node: _Node) -> Optional[str]:
+    if node.tag == "a" and node.attrs.get("href"):
+        return node.attrs["href"]
+    for c in node.children:
+        h = _first_href(c)
+        if h:
+            return h
+    return None
+
+
+def _classes(node: _Node) -> set:
+    return set((node.attrs.get("class") or "").split())
+
+
+def extract_html_spans(html: str) -> List[Span]:
+    """Flatten one slov-lex-shaped HTML payload into ordered spans.
+
+    Structural divs keep their anchor ids as media_ref (the hyperlink-primary
+    marker path, sequential_parser.py:129-178); furniture containers emit
+    `page_footer`/`page_header` spans for the downstream strip; `<img>` →
+    `media` spans; `<title>` → a `title` span.
+    """
+    builder = _TreeBuilder()
+    builder.feed(html)
+    spans: List[Span] = []
+
+    def emit(kind: str, text: str, media_ref: Optional[str]) -> None:
+        if text or kind == "media":
+            spans.append((kind, text, media_ref))
+
+    def walk(node: _Node, furniture: bool, unit_id: Optional[str]) -> None:
+        cls = _classes(node)
+        node_id = node.attrs.get("id")
+        here_unit = f"#{node_id}" if node_id else unit_id
+        here_furniture = furniture or bool(cls & _FURNITURE_CLASSES)
+
+        if node.tag == "title":
+            emit("title", _node_text(node), None)
+            return
+        if node.tag == "img":
+            emit("media", node.attrs.get("alt", ""), node.attrs.get("src"))
+            return
+        if cls & _MARKER_CLASSES:
+            # marker div: the hyperlink is the <a href> anchor ONLY — docling
+            # models hyperlinks from anchor elements, never from div ids, and
+            # the hierarchy stage's hyperlink-primary detection depends on
+            # that (a bod marker must NOT inherit its pismeno ancestor's id)
+            emit(
+                "page_footer" if here_furniture else "text",
+                _node_text(node),
+                _first_href(node),
+            )
+            return
+        if cls & _HEADING_CLASSES:
+            emit(
+                "page_footer" if here_furniture else "section_header",
+                _node_text(node),
+                _first_href(node),
+            )
+            return
+        if "text" in cls or "poznamka" in cls or "clanok" in cls:
+            # leaf content run — but nested structural divs (bod inside
+            # pismeno text) must be walked, so split around child divs
+            kind = "page_footer" if here_furniture else "text"
+            parts = dict_groupby(node.text_parts)
+            buf: List[str] = []
+            link = _first_href(node) if not any(
+                _classes(c) & (_MARKER_CLASSES | {"text"}) or c.tag == "div"
+                for c in node.children
+            ) else None
+
+            def flush() -> None:
+                t = _WS_RE.sub(" ", "".join(buf)).strip()
+                if t:
+                    emit(kind, t, link)
+                buf.clear()
+
+            for slot in range(len(node.children) + 1):
+                for t in parts.get(slot, ()):
+                    buf.append(t)
+                if slot < len(node.children):
+                    child = node.children[slot]
+                    if child.tag == "div":
+                        flush()
+                        walk(child, here_furniture, here_unit)
+                    elif child.tag == "img":
+                        flush()
+                        walk(child, here_furniture, here_unit)
+                    elif child.tag == "a":
+                        href = child.attrs.get("href")
+                        t = _node_text(child)
+                        if t:
+                            flush()
+                            emit(kind, t, href)
+                    elif child.tag == "sup":
+                        t = _node_text(child)
+                        if t:
+                            buf.append(t)
+                    else:
+                        buf.append(_node_text(child))
+            flush()
+            return
+
+        # generic container: recurse
+        parts = dict_groupby(node.text_parts)
+        for slot in range(len(node.children) + 1):
+            for t in parts.get(slot, ()):
+                t2 = _WS_RE.sub(" ", t).strip()
+                if t2:
+                    emit("page_footer" if here_furniture else "text", t2, None)
+            if slot < len(node.children):
+                walk(node.children[slot], here_furniture, here_unit)
+
+    walk(builder.root, False, None)
+    return spans

@@ -1,0 +1,112 @@
+"""End-to-end extraction pipeline (SURVEY.md §3, §7).
+
+Spark plan
+----------
+Every stage (sniff → HTML/PDF normalize → hierarchy state machine) is
+document-local, so the whole pipeline compiles to **one narrow mapInPandas
+stage over the scan: zero shuffles**. At 100 TB that means:
+
+- parallelism = input splits (`spark.sql.files.maxPartitionBytes`), no
+  exchange, no skewed reducer;
+- column pruning at the parquet/Iceberg scan (we only read doc_id + spans);
+- skew inside a split (one mega-doc) is bounded by the Arrow batch size
+  (`spark.sql.execution.arrow.maxRecordsPerBatch`) — a giant document ships
+  alone in its batch instead of stalling a reducer, and `rebalance()` offers
+  an explicit weight-aware repartition when input files are pathological.
+
+The per-document logic is pure Python over one doc's spans (the reference's
+own design: single-pass O(n), sequential_parser.py:5-15); the vectorization
+axis is documents-per-Arrow-batch, per the input_hint contract (vectorized
+pandas/Arrow UDFs, no per-row Python UDFs in the plan).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from docling_spark.operators import sniff
+from docling_spark.operators.hierarchy import reconstruct
+from docling_spark.operators.html_extract import extract_html_spans
+from docling_spark.operators.pdf_extract import normalize_pdf_spans
+from docling_spark.schema import DOC_DDL
+
+Span = Tuple[str, str, Optional[str]]
+
+
+def _as_tuples(raw_spans) -> List[Span]:
+    """Arrow hands array<struct> to pandas as a sequence of dicts (or None)."""
+    out: List[Span] = []
+    if raw_spans is None:
+        return out
+    for s in raw_spans:
+        if s is None:
+            continue
+        if isinstance(s, dict):
+            out.append((s.get("kind") or "", s.get("text") or "", s.get("media_ref")))
+        else:  # tuple/Row-like: (kind, text, media_ref[, offset])
+            out.append((s[0] or "", s[1] or "", s[2]))
+    return out
+
+
+def extract_document(raw_spans) -> List[Span]:
+    """Sniff one document and run the matching normalization path."""
+    spans = _as_tuples(raw_spans)
+    fmt = sniff.sniff_doc(spans)
+    if fmt == sniff.HTML:
+        flat: List[Span] = []
+        for kind, text, ref in spans:
+            if kind == "html_bytes":
+                flat.extend(extract_html_spans(text))
+            else:
+                flat.append((kind, text, ref))
+        return reconstruct(flat)
+    if fmt == sniff.PDF_LIKE:
+        return normalize_pdf_spans(spans)
+    # docling stream (or unknown → treated as pre-parsed stream)
+    return reconstruct(spans)
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out_spans = []
+    for raw in pdf["spans"]:
+        normalized = extract_document(raw)
+        out_spans.append(
+            [
+                {"kind": k, "text": t, "media_ref": r, "offset": i}
+                for i, (k, t, r) in enumerate(normalized)
+            ]
+        )
+    result = pd.DataFrame({"doc_id": pdf["doc_id"].values, "spans": out_spans})
+    for extra in pdf.columns:
+        if extra not in ("doc_id", "spans"):
+            result[extra] = pdf[extra].values
+    return result
+
+
+def extract(df, extra_cols: str = ""):
+    """documents(doc_id, spans[, extra]) → normalized documents, same shape.
+
+    One narrow stage; `extra_cols` (e.g. ", bucket int") are passed through
+    untouched so the checkpointed runner can keep its lineage column without
+    a join.
+    """
+    schema = DOC_DDL + extra_cols
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch(pdf)
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def rebalance(df, num_partitions: int):
+    """Optional explicit skew mitigation: hash-repartition documents so
+    pathological input files (one giant doc per split) spread across the
+    cluster. Costs one shuffle — only worth it when input layout is bad,
+    which is why it is not part of the default zero-shuffle plan."""
+    from pyspark.sql import functions as F
+
+    return df.repartition(num_partitions, F.xxhash64("doc_id"))

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local mode for tests/bench; the same confs are what we'd pass to
+spark-submit on a real cluster (AQE, Arrow, batch sizing — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "docling_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cores:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = master[6:-1] if master.startswith("local[") else "32"
+        shuffle_partitions = 32 if n in ("*", "") else max(8, int(n))
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound the damage of one mega-doc inside an Arrow batch: a heavy
+        # document ships in a small batch instead of stalling its whole split
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
