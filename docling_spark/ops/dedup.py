@@ -1,0 +1,129 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side built-ins (whole-stage codegen) — no Python UDFs:
+- exact: hash-groupBy (one shuffle on the hash, AQE-coalesced)
+- minhash LSH: shingle → minhash signature → band → bucket self-join
+  (the classic Broder/LSH construction; the band join is an equi-join so
+  Catalyst uses a shuffled hash join, and bucket keys distribute ~uniformly
+  so no skew salting needed)
+- simhash: bitwise majority over token hashes
+- n-gram Jaccard: blocked self-join + array_intersect/array_union
+
+At 100 TB: exact dedup shuffles only (hash, length) pairs — project before
+grouping. MinHash shuffles signatures (16×8 bytes/doc), not text. Verify-join
+pulls full shingle arrays only for candidate pairs (tiny fraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from docling_spark.ops import portable as P
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash, dup_count) per distinct text — dup_count > 1 means exact
+    duplicates. Only the hash is shuffled, never the text."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").cast("long").alias("dup_count"))
+    )
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 16) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}) portable minhash signature over word tokens."""
+    hashes = F.expr(P.token_hashes_spark(text_col))
+    out = docs.select(F.col(id_col), hashes.alias("_th"))
+    for i in range(n_hashes):
+        out = out.withColumn(f"mh_{i}", F.expr(P.minhash_spark("_th", i)).cast("long"))
+    return out.drop("_th")
+
+
+def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 16,
+                       band_size: int = 4) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
+
+    bands of `band_size` rows: docs agreeing on ALL rows of any band become
+    candidates — an equi-self-join on (band_id, band_key)."""
+    sig = minhash_signature(docs, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            ":", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.0,
+                        block_col: str | None = None) -> DataFrame:
+    """(id_a, id_b, jaccard) over word n-gram shingle sets.
+
+    `block_col` bounds the self-join (only pairs sharing the blocking key are
+    compared) — at scale use a cheap blocking key (length bucket, lang,
+    minhash band) to avoid the quadratic blowup."""
+    sh = docs.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.expr(P.ngrams_spark(text_col, n)).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — bit-majority fingerprint over token hashes.
+
+    Near-dups have small hamming distance; pair search buckets on rotated
+    prefixes (not included here — simhash itself is the operator)."""
+    hashes = F.expr(P.token_hashes_spark(text_col))
+    d = docs.select(F.col(id_col), hashes.alias("_th"))
+    terms = []
+    for j in range(bits):
+        # vote for bit j: +1 if set in token hash, -1 otherwise
+        vote = F.expr(
+            f"aggregate(_th, 0L, (acc, h) -> acc + "
+            f"(CASE WHEN CAST(h / {1 << j} AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return d.select(F.col(id_col), total.cast("long").alias("simhash"))

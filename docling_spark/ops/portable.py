@@ -1,0 +1,103 @@
+"""Engine-portable hashing / tokenization primitives.
+
+Exact-integer constructs expressible identically in Spark SQL and DuckDB SQL,
+so dedup/minhash/fingerprint queries can be verified against a DuckDB oracle
+bit-for-bit (no engine-specific hash like xxhash64/murmur3 in the compared
+path). Every helper returns BOTH dialect strings; the Spark side is used via
+`F.expr`, the DuckDB side is assembled into `oracle_sql()`.
+
+Token hash: polynomial codepoint hash h(t) = fold(31·acc + codepoint) mod P.
+MinHash permutations: (aᵢ·h + bᵢ) mod P — universal hashing per Broder '97
+(public construction).
+"""
+
+from __future__ import annotations
+
+MOD = 1_000_000_007
+
+# deterministic permutation constants (seeded once; committed as literals so
+# both engines and every run agree)
+MINHASH_A = [7919, 104729, 15485863, 32452843, 49979687, 67867967, 86028121,
+             13082, 25997, 40993, 57037, 75029, 93911, 11261, 28349, 47417]
+MINHASH_B = [104743, 15485867, 32452867, 49979693, 67867979, 86028157, 7927,
+             13171, 26003, 41011, 57059, 75079, 93913, 11273, 28351, 47431]
+
+# whitespace tokenization of a text column — identical semantics both engines
+def tokens_spark(col: str) -> str:
+    return f"split(trim({col}), '\\\\s+')"
+
+
+def tokens_duck(col: str) -> str:
+    return f"regexp_split_to_array(trim({col}), '\\s+')"
+
+
+# polynomial codepoint hash of one token expression
+def token_hash_spark(tok: str) -> str:
+    return (
+        f"aggregate(split({tok}, ''), 0L, "
+        f"(acc, c) -> (acc * 31 + ascii(c)) % {MOD})"
+    )
+
+
+def token_hash_duck(tok: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(split({tok}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {MOD})"
+    )
+
+
+# array of token hashes for a text column
+def token_hashes_spark(col: str) -> str:
+    return f"transform({tokens_spark(col)}, t -> {token_hash_spark('t')})"
+
+
+def token_hashes_duck(col: str) -> str:
+    return f"list_transform({tokens_duck(col)}, t -> {token_hash_duck('t')})"
+
+
+# minhash signature element i over an array-of-hashes expression
+def minhash_spark(hashes: str, i: int) -> str:
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return (
+        f"array_min(transform({hashes}, h -> ({a}L * h + {b}L) % {MOD}))"
+    )
+
+
+def minhash_duck(hashes: str, i: int) -> str:
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return (
+        f"list_min(list_transform({hashes}, "
+        f"h -> ({a}::BIGINT * h + {b}::BIGINT) % {MOD}))"
+    )
+
+
+# rolling document fingerprint over token hashes (order-sensitive)
+def fingerprint_spark(col: str) -> str:
+    return (
+        f"aggregate({token_hashes_spark(col)}, 0L, "
+        f"(acc, h) -> (acc * 131 + h) % {MOD})"
+    )
+
+
+def fingerprint_duck(col: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {token_hashes_duck(col)}), "
+        f"(acc, h) -> (acc * 131 + h) % {MOD})"
+    )
+
+
+# character n-gram (shingle) arrays for near-dup Jaccard
+def ngrams_spark(col: str, n: int) -> str:
+    # word n-grams: slide over tokens, join with single space
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({tokens_spark(col)}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({tokens_spark(col)}, i, {n}), ' ')))"
+    )
+
+
+def ngrams_duck(col: str, n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({tokens_duck(col)}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({tokens_duck(col)}, i, i + {n - 1}), ' ')))"
+    )

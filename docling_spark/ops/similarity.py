@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline. The query side is tiny →
+  broadcast; the corpus side streams through one narrow stage; top-k is a
+  per-query window. No full sort, no quadratic shuffle.
+- LSH-bucketed ANN (random hyperplanes / SRP): the scale path. Each vector
+  gets a `bits`-bit signature from sign(v·plane); candidates = same bucket
+  (optionally ±1-bit probes). At 100 TB the bucket join replaces the cross
+  product; recall tunes with bits/probes.
+
+All dot products are built-in higher-order functions (zip_with + aggregate),
+JVM-side — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def cosine_topk(emb: DataFrame, query_ids, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbours by cosine for each query id.
+
+    Returns (query_id, neighbor_id, cosine, rank) with deterministic
+    tie-breaks (cosine desc, neighbor_id asc). Self-matches excluded."""
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    queries = base.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+    )
+    joined = base.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = _dot("q", "v") / (
+        F.sqrt(_dot("q", "q")) * F.sqrt(_dot("v", "v"))
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
+def srp_signature(emb: DataFrame, bits: int = 8, dim: int = 64, seed: int = 7,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket) — signed-random-projection LSH bucket id.
+
+    Hyperplanes are seeded numpy normals shipped as literal arrays (no state
+    on executors, deterministic across cluster sizes)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(bits, dim)
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    bucket = F.lit(0).cast("long")
+    for j in range(bits):
+        lit = "array(" + ",".join(f"{x!r}D" for x in planes[j]) + ")"
+        bit = F.when(_dot("v", lit) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return base.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+
+
+def ann_bucketed_topk(emb: DataFrame, query_ids, k: int = 10, bits: int = 8,
+                      dim: int = 64, seed: int = 7, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket.
+
+    The equi-join on bucket replaces the cross join of the exact path — at
+    N vectors and 2^bits buckets the candidate set shrinks ~2^bits×."""
+    sig = srp_signature(emb, bits, dim, seed, id_col, vec_col)
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).join(
+        sig, id_col
+    )
+    queries = base.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    cos = _dot("q", "v") / (F.sqrt(_dot("q", "q")) * F.sqrt(_dot("v", "v")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id", F.col(id_col).alias("neighbor_id"), F.round(cos, 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )

@@ -1,0 +1,93 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side built-ins (regexp/arrays/windows) —
+these run inside whole-stage codegen at the parquet scan, no UDFs, no extra
+shuffle (narrow, per-row)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from docling_spark.ops import portable as P
+
+# Stopword cue lists per language (public, tiny — heuristic n-gram/stopword
+# language ID in the FastText/langid tradition, re-expressed as regexp counts).
+LANG_CUES = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+}
+
+
+def _cue_count(text_col: str, words) -> F.Column:
+    # doubled backslashes: Spark SQL string literals consume one level
+    pat = r"\\b(" + "|".join(words) + r")\\b"
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess, lang_score) — stopword-cue scoring; highest cue
+    count wins, 'und' (undetermined) when no cues fire."""
+    scores = [
+        _cue_count(text_col, words).alias(f"score_{lang}")
+        for lang, words in LANG_CUES.items()
+    ]
+    d = docs.select(F.col(id_col), *scores)
+    langs = list(LANG_CUES)
+    best_score = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.lit("und")
+    # deterministic tie-break: first language in fixed order wins
+    for lang in reversed(langs):
+        guess = F.when(
+            (best_score > 0) & (F.col(f"score_{lang}") == best_score), F.lit(lang)
+        ).otherwise(guess)
+    return d.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        best_score.cast("long").alias("lang_score"),
+    )
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_bpe) — whitespace tokens and a BPE-ish
+    subword proxy (runs of letters / digits / single punctuation)."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.expr(P.tokens_spark(text_col))).cast("long").alias("n_tokens_ws"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
+        ).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, punct_ratio, stopword_ratio, quality) — the classic
+    cheap quality gates (Gopher/C4-style rules, public)."""
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(F.expr(P.tokens_spark(text_col)))
+    n_punct = F.size(F.expr(f"regexp_extract_all({text_col}, '[.,;:!?]', 0)"))
+    stop = _cue_count(text_col, [w for ws in LANG_CUES.values() for w in ws])
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6)
+    stop_ratio = F.round(stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6)
+    quality = F.round(
+        F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(20.0), F.lit(1.0))) * 0.2,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_computed"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — order-sensitive rolling hash over token hashes
+    (portable across engines; see ops.portable)."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(P.fingerprint_spark(text_col)).cast("long").alias("fingerprint"),
+    )
