@@ -31,19 +31,26 @@ def tokens_duck(col: str) -> str:
     return f"regexp_split_to_array(trim({col}), '\\s+')"
 
 
-# polynomial codepoint hash of one token expression
+# polynomial codepoint hash of one token expression, with a final
+# multiplicative scramble (Knuth constant): the raw fold is tiny for short
+# tokens ('a' → 97), which would wreck minhash uniformity — one multiply
+# mod P spreads values across the full range. Overflow-safe: fold < P ≈ 1e9,
+# 1e9 · 2654435761 ≈ 2.7e18 < int64 max.
+_MIX = 2654435761
+
+
 def token_hash_spark(tok: str) -> str:
     return (
-        f"aggregate(split({tok}, ''), 0L, "
-        f"(acc, c) -> (acc * 31 + ascii(c)) % {MOD})"
+        f"(aggregate(split({tok}, ''), 0L, "
+        f"(acc, c) -> (acc * 31 + ascii(c)) % {MOD}) * {_MIX}L) % {MOD}"
     )
 
 
 def token_hash_duck(tok: str) -> str:
     return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(split({tok}, ''), c -> CAST(unicode(c) AS BIGINT))), "
-        f"(acc, c) -> (acc * 31 + c) % {MOD})"
+        f"(acc, c) -> (acc * 31 + c) % {MOD}) * {_MIX}) % {MOD}"
     )
 
 

@@ -1,0 +1,147 @@
+"""Semantic tests for the training-data pipeline ops: dedup, similarity,
+text analysis, multimodal plumbing. Uses small hand-built frames so expected
+values are checkable by eye."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog", "en"),    # near dup
+        (4, "der schnelle braune fuchs und der faule hund ist da", "de"),
+        (5, "completely different words entirely here now", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dup_groups(docs):
+    from docling_spark.ops.dedup import exact_dup_groups
+
+    got = {r["text_hash"]: r["dup_count"] for r in exact_dup_groups(docs).collect()}
+    assert sorted(got.values()) == [1, 1, 1, 2]
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    from docling_spark.ops.dedup import minhash_signature
+
+    sig = {r["doc_id"]: [r[f"mh_{i}"] for i in range(16)]
+           for r in minhash_signature(docs).collect()}
+    assert sig[1] == sig[2]              # exact dups → identical signature
+    agree_near = sum(a == b for a, b in zip(sig[1], sig[3]))
+    agree_far = sum(a == b for a, b in zip(sig[1], sig[5]))
+    assert agree_near > agree_far        # near dup agrees on more rows
+
+
+def test_minhash_band_pairs_finds_dups(docs):
+    from docling_spark.ops.dedup import minhash_band_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_band_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in ≥1 band
+    assert (1, 5) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    from docling_spark.ops.dedup import ngram_jaccard_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, n=3, block_col="lang").collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.3 < got[(1, 3)] < 1.0
+    assert got[(1, 5)] == 0.0
+    assert (1, 4) not in got  # different lang block
+
+
+def test_simhash_hamming(docs):
+    from docling_spark.ops.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[5])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 8)
+    base[1] = base[0] + 0.01 * rng.randn(8)  # vec 1 ≈ vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(emb):
+    from docling_spark.ops.similarity import cosine_topk
+
+    out = cosine_topk(emb, query_ids=[0], k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["neighbor_id"] == 1       # the planted near-neighbor
+    assert out[0]["cosine"] > 0.99
+    # numpy ground truth for the full ranking
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    q = vecs[0]
+    cos = {
+        i: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for i, v in vecs.items() if i != 0
+    }
+    expected = sorted(cos, key=lambda i: (-round(cos[i], 6), i))[:3]
+    assert [r["neighbor_id"] for r in out] == expected
+
+
+def test_ann_bucketed_recall(emb):
+    from docling_spark.ops.similarity import ann_bucketed_topk, srp_signature
+
+    sig = {r["vec_id"]: r["bucket"] for r in srp_signature(emb, bits=4, dim=8).collect()}
+    assert sig[0] == sig[1]  # near-identical vectors share the SRP bucket
+    out = ann_bucketed_topk(emb, query_ids=[0], k=3, bits=4, dim=8).collect()
+    assert out and out[0]["neighbor_id"] == 1
+
+
+def test_textstats(docs):
+    from docling_spark.ops.textstats import fingerprint, lang_id, quality_score, token_count
+
+    tc = {r["doc_id"]: r["n_tokens_ws"] for r in token_count(docs).collect()}
+    assert tc[1] == 9
+    li = {r["doc_id"]: r["lang_guess"] for r in lang_id(docs).collect()}
+    assert li[1] == "en"
+    assert li[4] == "de"
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]  # order-sensitive rolling hash
+    qs = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert 0.0 <= min(qs.values()) and max(qs.values()) <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    from docling_spark.ops.multimodal import (
+        frame_sample,
+        image_features,
+        media_metadata,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=12, seed=13)
+    meta = media_metadata(media).collect()
+    assert len(meta) == 12
+    assert all(len(r["sha256"]) == 64 and r["byte_len"] > 0 for r in meta)
+
+    feats = image_features(media).collect()
+    assert all(r["decode_ok"] for r in feats)
+    assert all(64 <= r["width"] < 256 for r in feats)
+    # deterministic across runs
+    feats2 = image_features(synth_media_df(spark, n=12, seed=13)).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    frames = frame_sample(media, every_n=10)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert len(per_media) == 12
+    # plan stays narrow (no shuffle) for all three
+    for df in (media_metadata(media), image_features(media)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
