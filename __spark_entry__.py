@@ -377,6 +377,22 @@ def x_multimodal_image_features(spark, sf_dir):
     return image_features(synth_media_df(spark, n=32, seed=13))
 
 
+def x_markdown_sink(spark, sf_dir):
+    from docling_spark.operators.serialize import markdown_sink
+    from docling_spark.pipeline import extract
+
+    docs = spark.read.parquet(_corpus_path(sf_dir))
+    return markdown_sink(extract(docs))
+
+
+def x_law_chunks(spark, sf_dir):
+    from docling_spark.operators.serialize import chunk_sink
+    from docling_spark.pipeline import extract
+
+    docs = spark.read.parquet(_corpus_path(sf_dir))
+    return chunk_sink(extract(docs), level="odsek")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -411,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_normalized": x_extract_normalized,
         "extract_kind_histogram": x_extract_kind_histogram,
         "multimodal_image_features": x_multimodal_image_features,
+        "markdown_sink": x_markdown_sink,
+        "law_chunks": x_law_chunks,
     }
 
 

@@ -1,0 +1,117 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "extraction_docs_per_sec", "value": N, "unit": "docs/sec",
+ "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+The headline metric is extraction throughput (docs/sec) over the
+deterministic interleaved corpus — the BASELINE.json target. Query timings
+cover the operator families (scan/agg/join/window/dedup/ANN/textstats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "3000"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "topk_revenue",
+    "anti_join_audit",
+    "asof_last_marker",
+    "range_join_bands",
+    "reading_order",
+    "text_accumulate",
+    "running_offset",
+    "dedup_exact",
+    "fingerprint",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "minhash_signature",
+    "simhash",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "chunk_split",
+]
+
+
+def _count(df) -> int:
+    # materialize the full result (not just count pushdown) — noop filter
+    # keeps the whole projection alive
+    return df.count()
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from docling_spark.pipeline import extract
+    from docling_spark.session import get_spark
+    from docling_spark.synth import write_corpus_parquet
+
+    corpus = f"/tmp/docling_spark_bench_{EXTRACT_DOCS}.parquet"
+    if not os.path.exists(corpus):
+        write_corpus_parquet(corpus, n_docs=EXTRACT_DOCS, seed=42)
+
+    spark = get_spark(
+        app="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={
+            # row-group-granular splits keep the zero-shuffle extraction wide
+            "spark.sql.files.maxPartitionBytes": "512k",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+        },
+    )
+
+    timings: dict[str, float] = {}
+
+    # headline: extraction throughput (narrow scan, no repartition — the
+    # zero-shuffle plan; sampled warm-up spawns the python worker pool)
+    docs = spark.read.parquet(corpus)
+    extract(docs.sample(0.08, seed=1)).count()
+    t0 = time.time()
+    n_spans = extract(docs).select("spans").selectExpr("sum(size(spans))").collect()[0][0]
+    extract_sec = time.time() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+    docs_per_sec = EXTRACT_DOCS / extract_sec
+
+    qs = E.queries()
+    total = extract_sec
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _count(qs[name](spark, SF_DIR))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_docs_per_sec",
+                "value": round(docs_per_sec, 2),
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extract_docs": EXTRACT_DOCS,
+                "extract_spans_out": int(n_spans),
+                "total_sec": round(total, 3),
+                "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

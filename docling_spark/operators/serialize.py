@@ -1,0 +1,208 @@
+"""Stage 6 — serialization sinks and chunking (SURVEY.md §2.1 S7/S8,
+§2.8 C7-C10, §2.9 K1/K5).
+
+Markdown rendering and law-level chunking over the *normalized* span table.
+Both are per-document-local → same zero-shuffle mapInPandas shape as the
+extraction pipeline; the chunk table then explodes to one row per chunk
+(narrow generate, still no exchange).
+
+Reference semantics mirrored (original implementation):
+- markdown walk with #/##/### headings, bold markers, pipe tables
+  (/root/reference/sequential_parser.py:5038-5186, format_table_as_markdown
+  4958-5018)
+- chunking at part/paragraph/odsek/pismeno level with parent-context
+  headings (/root/reference/chunk_to_markdown.py:478-676; heading tracking
+  hierarchical_chunker.py:148-163)
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from docling_spark.schema import CHUNK_DDL
+
+Span = Tuple[str, str, Optional[str]]
+
+_HEADING_LEVELS = {
+    "title": "#",
+    "part": "#",
+    "section_header": "##",
+    "paragraph": "##",
+    "paragraph_title": "###",
+    "annex": "##",
+}
+
+
+def render_markdown(spans: List[Span]) -> str:
+    """One document's normalized spans → markdown string."""
+    out: List[str] = []
+    table_rows: List[List[str]] = []
+    table_idx: Optional[str] = None
+
+    def flush_table() -> None:
+        nonlocal table_rows, table_idx
+        if not table_rows:
+            return
+        header, *body = table_rows
+        out.append("| " + " | ".join(header) + " |")
+        out.append("| " + " | ".join("---" for _ in header) + " |")
+        for row in body:
+            out.append("| " + " | ".join(row) + " |")
+        out.append("")
+        table_rows = []
+        table_idx = None
+
+    for kind, text, ref in spans:
+        if kind == "table_cell":
+            # ref shape '#/tables/i/rRcC' — row-major arrival order
+            tid = (ref or "").split("/r")[0]
+            if table_idx is not None and tid != table_idx:
+                flush_table()
+            table_idx = tid
+            row_tag = (ref or "").rsplit("/r", 1)[-1]
+            r = int(row_tag.split("c")[0]) if "c" in row_tag else 0
+            while len(table_rows) <= r:
+                table_rows.append([])
+            table_rows[r].append(text)
+            continue
+        flush_table()
+        if kind in _HEADING_LEVELS:
+            out.append(f"{_HEADING_LEVELS[kind]} {text}")
+            out.append("")
+        elif kind in ("odsek", "pismeno", "subitem", "footnote"):
+            out.append(f"**{text}**")
+        elif kind == "media":
+            out.append(f"![{text}]({ref})")
+            out.append("")
+        elif kind == "list_item":
+            out.append(f"- {text}")
+        else:
+            out.append(text)
+            out.append("")
+    flush_table()
+    return "\n".join(out).strip() + "\n"
+
+
+
+
+def _iter_spans(spans):
+    # Arrow hands array<struct> to pandas as a numpy array of dicts (or None)
+    return [] if spans is None else list(spans)
+
+def markdown_sink(df):
+    """normalized documents → (doc_id, markdown)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            md = [
+                render_markdown(
+                    [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)]
+                )
+                for spans in pdf["spans"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "markdown": md})
+
+    return df.mapInPandas(gen, schema="doc_id string, markdown string")
+
+
+# ---------------------------------------------------------------------------
+# law-level chunking (K5): one chunk per unit at the chosen level, with
+# parent headings as context
+# ---------------------------------------------------------------------------
+
+_LEVEL_KINDS = ("part", "paragraph", "odsek", "pismeno")
+
+
+def chunk_document(doc_id: str, spans: List[Span], level: str = "odsek") -> List[tuple]:
+    """Chunk one document at `level`; annexes and footnotes chunk whole
+    (chunk_to_markdown.py:679-733). Returns CHUNK_SCHEMA tuples."""
+    cut_at = _LEVEL_KINDS.index(level)
+    chunks: List[tuple] = []
+    headings: List[str] = []  # heading stack: [title, part, §, ...]
+    cur_key: Optional[str] = None
+    cur_level: Optional[str] = None
+    buf: List[str] = []
+
+    def close() -> None:
+        nonlocal buf, cur_key, cur_level
+        if cur_key is not None and buf:
+            content = "\n".join(buf)
+            chunks.append(
+                (
+                    doc_id,
+                    f"{doc_id}/{cur_key}",
+                    cur_level,
+                    content,
+                    list(headings),
+                    len(content),
+                )
+            )
+        buf = []
+        cur_key = None
+
+    for kind, text, ref in spans:
+        if kind == "title":
+            headings = [text]
+            continue
+        if kind in ("part", "paragraph"):
+            idx = _LEVEL_KINDS.index(kind)
+            if idx <= cut_at:
+                close()
+                headings = headings[: 1 + idx] + [text]
+                if idx == cut_at:
+                    cur_key = (ref or text).lstrip("#")
+                    cur_level = kind
+                continue
+        if kind in ("odsek", "pismeno"):
+            idx = _LEVEL_KINDS.index(kind)
+            if idx == cut_at:
+                close()
+                cur_key = (ref or text).lstrip("#")
+                cur_level = kind
+                buf.append(text)
+                continue
+            if idx < cut_at:
+                close()
+                continue
+        if kind in ("annex", "footnote"):
+            close()
+            cur_key = (ref or text).lstrip("#")
+            cur_level = kind
+            buf.append(text)
+            continue
+        if kind in ("paragraph_title", "section_header"):
+            if cur_key is None:
+                headings = headings + [text]
+            else:
+                buf.append(text)
+            continue
+        if cur_key is not None and kind in ("text", "subitem", "table_cell", "list_item"):
+            buf.append(text)
+    close()
+    return chunks
+
+
+def chunk_sink(df, level: str = "odsek"):
+    """normalized documents → chunk table (CHUNK_DDL), one row per chunk."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[tuple] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                rows.extend(
+                    chunk_document(
+                        doc_id,
+                        [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)],
+                        level,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chunk_id", "level", "content", "headings", "content_length",
+                ],
+            )
+
+    return df.mapInPandas(gen, schema=CHUNK_DDL)

@@ -368,4 +368,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> None:
             "spans": pa.array([d[1] for d in docs], pa.list_(span_type)),
         }
     )
-    pq.write_table(table, path)
+    # small row groups: parquet scans parallelize at row-group granularity,
+    # so one giant row group would serialize the whole extraction behind a
+    # single task (a 100 TB Iceberg table has many files/row-groups — the
+    # sandbox corpus must too, or local parallelism measurements lie)
+    pq.write_table(table, path, row_group_size=64)
