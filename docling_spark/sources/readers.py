@@ -1,0 +1,168 @@
+"""Sources (SURVEY.md §2.1 S1-S5).
+
+- read_documents: the corpus scan. Iceberg when a catalog table is named
+  (`catalog.db.tbl`), plain parquet paths otherwise (sandbox). Column
+  pruning/partition pruning come free from the declarative scan.
+- read_docling_json: S3 — docling-JSON payload column → spans via
+  `from_json` with an explicit schema (no inference; schema drift fails
+  loudly). Mirrors DoclingDocument.load_from_json
+  (/root/reference/sequential_parser.py:95-105) re-expressed as a columnar
+  parse: the flat typed arrays of the pydantic model
+  (document.py:2533-2564) map to nested arrays we explode into spans.
+- read_manifest: S4 — YAML law manifests (annex_processor.py:137-232) into
+  a small dimension DataFrame meant for `F.broadcast` joins (J5).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from docling_spark.schema import DOC_SCHEMA
+
+# minimal docling-JSON shape: flat text items + tables, reading order given
+# by body children indices (document.py:2533-2564 subset)
+DOCLING_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField(
+            "texts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("self_ref", T.StringType()),
+                        T.StructField("label", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("hyperlink", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "tables",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("self_ref", T.StringType()),
+                        T.StructField(
+                            "cells",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("row", T.IntegerType()),
+                                        T.StructField("col", T.IntegerType()),
+                                        T.StructField("text", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def read_documents(spark: SparkSession, source: str) -> DataFrame:
+    """Scan the documents table from an Iceberg catalog table name or a
+    parquet path."""
+    if "/" not in source and source.count(".") >= 1:
+        return spark.read.format("iceberg").load(source)
+    return spark.read.schema(DOC_SCHEMA).parquet(source)
+
+
+def read_docling_json(df: DataFrame, json_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload json-string) → (doc_id, spans) via from_json +
+    native array ops — fully JVM-side, no UDF."""
+    parsed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.from_json(F.col(json_col), DOCLING_JSON_SCHEMA).alias("d"),
+    )
+    text_spans = F.expr(
+        """
+        transform(d.texts, t -> struct(
+            CASE WHEN t.label IN ('section_header', 'title', 'list_item',
+                                  'page_footer', 'page_header')
+                 THEN t.label ELSE 'text' END AS kind,
+            t.text AS text,
+            t.hyperlink AS media_ref))
+        """
+    )
+    table_spans = F.expr(
+        """
+        flatten(transform(d.tables, (tb, ti) ->
+            transform(tb.cells, c -> struct(
+                'table_cell' AS kind,
+                c.text AS text,
+                concat('#/tables/', ti, '/r', c.row, 'c', c.col) AS media_ref))))
+        """
+    )
+    return parsed.select(
+        "doc_id",
+        F.concat(text_spans, table_spans).alias("spans_noidx"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(spans_noidx, (s, i) -> struct(s.kind AS kind, s.text AS text,"
+            " s.media_ref AS media_ref, CAST(i AS INT) AS offset))"
+        ).alias("spans"),
+    )
+
+
+def read_manifest(spark: SparkSession, manifest_yaml: str) -> DataFrame:
+    """One or more YAML law manifests → broadcastable dimension
+    (law_id, annex_no, annex_title, annex_type, annex_url)."""
+    docs = list(yaml.safe_load_all(manifest_yaml))
+    rows: List[tuple] = []
+    for m in docs:
+        if not m:
+            continue
+        law_id = str(m.get("law_id", ""))
+        for a in m.get("annexes", []) or []:
+            rows.append(
+                (
+                    law_id,
+                    int(a.get("number", 0)),
+                    a.get("title"),
+                    a.get("type", "inline"),
+                    a.get("url"),
+                )
+            )
+        if not m.get("annexes"):
+            rows.append((law_id, 0, None, "none", None))
+    return spark.createDataFrame(
+        rows,
+        "law_id string, annex_no int, annex_title string, annex_type string, annex_url string",
+    )
+
+
+def integrate_annexes(extracted: DataFrame, manifest: DataFrame) -> DataFrame:
+    """J5 — broadcast left join of the manifest's annex list against the
+    annexes found in extraction; missing ones get a placeholder row
+    (annex_processor.py:1211-1312 semantics)."""
+    from docling_spark.operators.tables import explode_spans
+
+    found = (
+        explode_spans(extracted)
+        .filter(F.col("kind") == "annex")
+        .select(
+            F.regexp_extract("doc_id", r"-(\d+)$", 1).alias("law_id"),
+            F.regexp_extract("media_ref", r"#priloha-(\d+)", 1).cast("int").alias("annex_no"),
+            F.col("text").alias("found_title"),
+        )
+        .filter(F.col("annex_no").isNotNull())
+    )
+    return (
+        manifest.join(F.broadcast(found), ["law_id", "annex_no"], "left")
+        .select(
+            "law_id",
+            "annex_no",
+            "annex_type",
+            F.coalesce(F.col("found_title"), F.lit("[missing annex]")).alias("title"),
+            F.col("found_title").isNotNull().alias("resolved"),
+        )
+    )
