@@ -38,16 +38,22 @@ UI_BLOCKLIST = (
 
 _PHONE_RE = re.compile(r"^[\d\s\-]+$")
 _EMAIL_RE = re.compile(r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$")
+# single C-speed alternation instead of 18 Python `in` scans per span
+_UI_RE = re.compile("|".join(re.escape(u) for u in UI_BLOCKLIST))
 
 
 def is_furniture_text(text: str) -> bool:
     """Blocklist/phone/email fallback (structural kind check is separate)."""
-    if any(ui in text for ui in UI_BLOCKLIST):
+    if _UI_RE.search(text):
         return True
     stripped = text.strip()
-    if len(stripped) > 5 and _PHONE_RE.match(stripped):
+    if (
+        len(stripped) > 5
+        and (stripped[0].isdigit() or stripped[0] == "-")
+        and _PHONE_RE.match(stripped)
+    ):
         return True
-    return bool(_EMAIL_RE.match(stripped))
+    return "@" in stripped and bool(_EMAIL_RE.match(stripped))
 
 
 def is_furniture_span(kind: str, text: str) -> bool:

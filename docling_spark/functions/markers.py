@@ -23,7 +23,12 @@ _PART_RE = re.compile(
 )
 
 
+_PART_FIRST = frozenset("PDTŠSÔpdtšsô")
+
+
 def detect_part_marker(text: str) -> Optional[str]:
+    if not text or text[0] not in _PART_FIRST:  # O(1) guard before regex
+        return None
     m = _PART_RE.match(text)
     return m.group(0).upper() if m else None
 
@@ -84,6 +89,10 @@ def detect_pismeno_marker(text: str, hyperlink: Optional[str] = None) -> Optiona
         inner = text[:-1].strip()
         if inner and inner.isalpha():
             return inner.lower()
+    # O(1) guard for the at-start regex fallbacks: marker letters are 1-2
+    # chars + optional space before ')', so ')' must appear early
+    if ")" not in text[:5]:
+        return None
     m = _PISMENO_START_RE.match(text)
     if m and m.group(1).isalpha():
         return m.group(1).lower()
@@ -126,6 +135,15 @@ _ANNEX_EN_RE = re.compile(r"^annex\s+(\d+)\s*$", re.IGNORECASE)
 
 
 def detect_annex_marker(text: str) -> Optional[str]:
+    # O(1)-ish guard: all accepted patterns contain 'ríloha'/'riloha' (any
+    # case) or 'nnex' — skip the lower()+regex battery for ordinary text
+    if (
+        "ríloha" not in text
+        and "RÍLOHA" not in text
+        and "nnex" not in text
+        and "NNEX" not in text
+    ):
+        return None
     normalized = text.lower().strip()
     if "prevziať prílohu" in normalized:
         return None
