@@ -322,6 +322,47 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return srp_signature(_t(spark, sf_dir, "embeddings"), bits=8, dim=64, seed=7)
 
 
+def q_grid_densify(spark, sf_dir):
+    # A10: sparse spanned cells → dense grid (inline fixture, same in oracle)
+    from docling_spark.operators.grids import densify_grid_spark
+
+    cells = [
+        {"row": 0, "col": 0, "row_span": 1, "col_span": 2, "text": "H", "is_header": True},
+        {"row": 0, "col": 2, "row_span": 1, "col_span": 1, "text": "S", "is_header": True},
+        {"row": 1, "col": 0, "row_span": 2, "col_span": 1, "text": "R", "is_header": False},
+        {"row": 1, "col": 1, "row_span": 1, "col_span": 1, "text": "x", "is_header": False},
+        {"row": 2, "col": 2, "row_span": 1, "col_span": 1, "text": "y", "is_header": False},
+    ]
+    df = spark.createDataFrame(
+        [("t1", 3, 3, cells)],
+        "table_id string, num_rows int, num_cols int, cells array<struct<"
+        "row int, col int, row_span int, col_span int, text string, is_header boolean>>",
+    )
+    out = densify_grid_spark(df)
+    return out.select(
+        "table_id",
+        out["r"].cast("long").alias("r"),
+        out["c"].cast("long").alias("c"),
+        "text",
+    )
+
+
+def q_token_set_ops(spark, sf_dir):
+    # E-family: per-doc distinct tokens minus a stop set, intersect with a
+    # probe set — array_except / array_intersect / array_distinct
+    docs = _t(spark, sf_dir, "documents")
+    toks = f"array_distinct({P.tokens_spark('text')})"
+    stop = "array('the','and','of','a')"
+    probe = "array('spark','table','join','window')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(array_except({toks}, {stop}))").cast("long").alias("n_content_tokens"),
+        F.expr(
+            f"array_join(array_sort(array_intersect({toks}, {probe})), ',')"
+        ).alias("probe_hits"),
+    )
+
+
 def q_chunk_split(spark, sf_dir):
     # K-family: fixed-token-window chunking → exploded chunk table
     docs = _t(spark, sf_dir, "documents")
@@ -424,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "chunk_split": q_chunk_split,
+        "grid_densify": q_grid_densify,
+        "token_set_ops": q_token_set_ops,
         "extract_normalized": x_extract_normalized,
         "extract_kind_histogram": x_extract_kind_histogram,
         "multimodal_image_features": x_multimodal_image_features,
@@ -693,6 +736,44 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _duck_simhash_sql(),
         "ann_cosine_topk": _duck_ann_cosine_sql(),
         "ann_lsh_buckets": _duck_lsh_sql(),
+        "grid_densify": """
+            WITH cells(row, col, row_span, col_span, text) AS (
+              VALUES (0,0,1,2,'H'), (0,2,1,1,'S'), (1,0,2,1,'R'),
+                     (1,1,1,1,'x'), (2,2,1,1,'y')
+            ),
+            covered AS (
+              SELECT 't1' AS table_id,
+                     unnest(range(row, row + greatest(row_span, 1))) AS r,
+                     col, col_span, text
+              FROM cells
+            ),
+            covered2 AS (
+              SELECT table_id, r,
+                     unnest(range(col, col + greatest(col_span, 1))) AS c,
+                     text
+              FROM covered
+            ),
+            lattice AS (
+              SELECT 't1' AS table_id, r.range AS r, c.range AS c
+              FROM range(0, 3) r, range(0, 3) c
+            )
+            SELECT l.table_id, CAST(l.r AS BIGINT) AS r, CAST(l.c AS BIGINT) AS c,
+                   coalesce(min(cv.text), '') AS text
+            FROM lattice l LEFT JOIN covered2 cv
+              ON cv.table_id = l.table_id AND cv.r = l.r AND cv.c = l.c
+            GROUP BY l.table_id, l.r, l.c
+        """,
+        "token_set_ops": f"""
+            WITH t AS (SELECT doc_id, list_distinct({toks}) AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(toks,
+                        x -> x NOT IN ('the','and','of','a'))) AS BIGINT)
+                   AS n_content_tokens,
+                   coalesce(array_to_string(list_sort(list_filter(toks,
+                        x -> x IN ('spark','table','join','window'))), ','), '')
+                   AS probe_hits
+            FROM t
+        """,
         "chunk_split": f"""
             WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
             c AS (SELECT doc_id,

@@ -68,7 +68,8 @@ def densify_grid_spark(tables: DataFrame) -> DataFrame:
     return (
         lattice.join(covered, ["table_id", "r", "c"], "left")
         .groupBy("table_id", "r", "c")
-        .agg(F.coalesce(F.first("text"), F.lit("")).alias("text"))
+        # min() for determinism when spans overlap (first() is order-dependent)
+        .agg(F.coalesce(F.min("text"), F.lit("")).alias("text"))
     )
 
 
