@@ -14,7 +14,12 @@ after sorting columns by name).
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # driver may import this file from any cwd
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -30,6 +35,26 @@ from docling_spark.ops.similarity import ann_bucketed_topk, cosine_topk, srp_sig
 from docling_spark.ops.textstats import LANG_CUES, fingerprint, lang_id, quality_score, token_count
 
 _SF_DEFAULT = "/root/testdata/sf0.001"
+_SHIPPED: set = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the docling_spark package to Spark's Python workers — the
+    driver's sys.path does NOT propagate to worker processes, so any
+    mapInPandas closure referencing the package needs the zip on the
+    session's pyFiles (the spark-submit --py-files equivalent, applied
+    programmatically so the driver harness needs no special setup)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    from tools.package_pyfiles import build
+
+    # rebuild every process start (cheap) so a stale zip never ships
+    zip_path = f"/tmp/docling_spark_pyfiles_{os.getpid()}.zip"
+    if not os.path.exists(zip_path):
+        build(zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,6 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
     returning the normalized span table exploded to one row per span."""
     from docling_spark.pipeline import extract
 
+    _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(_SF_DEFAULT))
     normalized = extract(docs)
     return normalized.select(
@@ -390,6 +416,7 @@ def q_chunk_split(spark, sf_dir):
 def x_extract_normalized(spark, sf_dir):
     from docling_spark.pipeline import extract
 
+    _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(sf_dir))
     return extract(docs).select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
@@ -403,6 +430,7 @@ def x_extract_normalized(spark, sf_dir):
 def x_extract_kind_histogram(spark, sf_dir):
     from docling_spark.pipeline import extract
 
+    _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(sf_dir))
     return (
         extract(docs)
@@ -415,6 +443,7 @@ def x_extract_kind_histogram(spark, sf_dir):
 def x_multimodal_image_features(spark, sf_dir):
     from docling_spark.ops.multimodal import image_features, synth_media_df
 
+    _ensure_workers(spark)
     return image_features(synth_media_df(spark, n=32, seed=13))
 
 
@@ -422,6 +451,7 @@ def x_markdown_sink(spark, sf_dir):
     from docling_spark.operators.serialize import markdown_sink
     from docling_spark.pipeline import extract
 
+    _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(sf_dir))
     return markdown_sink(extract(docs))
 
@@ -430,6 +460,7 @@ def x_law_chunks(spark, sf_dir):
     from docling_spark.operators.serialize import chunk_sink
     from docling_spark.pipeline import extract
 
+    _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(sf_dir))
     return chunk_sink(extract(docs), level="odsek")
 
