@@ -72,6 +72,7 @@ def main() -> None:
             "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
         },
     )
+    E._ensure_workers(spark)  # package zip for python workers (any cwd)
 
     timings: dict[str, float] = {}
 

@@ -141,6 +141,12 @@ def reconstruct(spans: List[Span]) -> List[Span]:
             st.flush()
             st.out.append(("list_item", text, link))
             continue
+        if kind == "caption":
+            # captions never join unit text (F16, common.py:391-394) —
+            # emitted standalone next to their float
+            st.flush()
+            st.out.append(("caption", text, link))
+            continue
 
         if not text:
             continue

@@ -78,6 +78,9 @@ def render_markdown(spans: List[Span]) -> str:
             out.append("")
         elif kind == "list_item":
             out.append(f"- {text}")
+        elif kind == "caption":
+            out.append(f"*{text}*")
+            out.append("")
         else:
             out.append(text)
             out.append("")

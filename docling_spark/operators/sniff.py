@@ -40,7 +40,7 @@ def sniff_doc(spans: List[Tuple[str, str, Optional[str]]], probe: int = 8) -> st
             saw_geom = True
         if _CCODE_RE.search(t):
             saw_ccode = True
-        if kind in ("text", "section_header", "table_cell", "list_item", "media", "title"):
+        if kind in ("text", "section_header", "table_cell", "list_item", "media", "title", "caption"):
             saw_structural = True
     if saw_geom or saw_ccode:
         return PDF_LIKE

@@ -48,6 +48,8 @@ RAW_KINDS = {
     "list_item",
     "table_cell",
     "media",
+    "caption",
+    "title",
     "page_footer",
     "page_header",
 }
@@ -70,6 +72,8 @@ NORMALIZED_KINDS = {
     "footnote",        # footnote definition marker
     "annex",           # annex header
     "list_item",
+    "caption",         # figure/table caption (F16: skipped in unit text,
+                       #   kept as standalone span — common.py:391-394)
 }
 
 # ---------------------------------------------------------------------------

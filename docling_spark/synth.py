@@ -316,6 +316,7 @@ def synth_docling_stream(doc_id: str, rng: random.Random) -> List[Span]:
         add("table_cell", f"1-{r}", f"#/tables/0/r{r}c0")
         add("table_cell", f"{rng.randint(10, 35)}.{rng.randint(10, 99)}", f"#/tables/0/r{r}c1")
         add("table_cell", rng.choice(_ITEM_NOUNS), f"#/tables/0/r{r}c2")
+    add("caption", f"Obrázok 1 – Schéma postupu podľa zákona č. {law_no}/2019 Z. z.", None)
     add("media", "obrázok", f"img://fig-{law_no}.png")
     add("page_footer", "Strana 1", None)
     return spans
