@@ -68,6 +68,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=48000)
     ap.add_argument("--n", type=int, default=4)
+    ap.add_argument(
+        "--write",
+        action="store_true",
+        help="update BENCH/BASELINE.md (without this flag the run is a probe "
+        "and the canonical report is left untouched)",
+    )
     args = ap.parse_args()
 
     corpus = f"/tmp/docling_spark_scaling_{args.docs}.parquet"
@@ -97,6 +103,9 @@ def main() -> None:
     }
     print(json.dumps(summary, indent=2))
 
+    if not args.write:
+        print("probe run — BENCH/BASELINE.md not updated (pass --write)", file=sys.stderr)
+        return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(

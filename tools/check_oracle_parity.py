@@ -69,6 +69,10 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
