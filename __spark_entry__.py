@@ -63,14 +63,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _corpus_path(sf_dir: str) -> str:
     """Deterministic synthetic span corpus for the extraction queries,
-    scaled with sf (cached under /tmp, keyed by sf dir)."""
+    scaled with sf. Cached under /tmp keyed by (sf, n, synth-source-hash) so
+    a change to the generator grammar invalidates stale corpora."""
+    import hashlib
+
+    from docling_spark import synth
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     n = {"sf0.001": 120, "sf0.01": 400, "sf0.1": 1200}.get(tag, 120)
-    path = f"/tmp/docling_spark_corpus_{tag}_{n}.parquet"
+    with open(synth.__file__, "rb") as f:
+        ver = hashlib.sha256(f.read()).hexdigest()[:10]
+    path = f"/tmp/docling_spark_corpus_{tag}_{n}_{ver}.parquet"
     if not os.path.exists(path):
-        from docling_spark.synth import write_corpus_parquet
-
-        write_corpus_parquet(path, n_docs=n, seed=42)
+        synth.write_corpus_parquet(path, n_docs=n, seed=42)
     return path
 
 

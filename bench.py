@@ -57,7 +57,13 @@ def main() -> None:
     from docling_spark.session import get_spark
     from docling_spark.synth import write_corpus_parquet
 
-    corpus = f"/tmp/docling_spark_bench_{EXTRACT_DOCS}.parquet"
+    import hashlib
+
+    from docling_spark import synth as _synth
+
+    with open(_synth.__file__, "rb") as f:
+        _ver = hashlib.sha256(f.read()).hexdigest()[:10]
+    corpus = f"/tmp/docling_spark_bench_{EXTRACT_DOCS}_{_ver}.parquet"
     if not os.path.exists(corpus):
         write_corpus_parquet(corpus, n_docs=EXTRACT_DOCS, seed=42)
 

@@ -76,13 +76,16 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    corpus = f"/tmp/docling_spark_scaling_{args.docs}.parquet"
-    if not os.path.exists(corpus):
-        from docling_spark.synth import write_corpus_parquet
+    import hashlib
 
+    from docling_spark import synth as _synth
+
+    with open(_synth.__file__, "rb") as f:
+        _ver = hashlib.sha256(f.read()).hexdigest()[:10]
+    corpus = f"/tmp/docling_spark_scaling_{args.docs}_{_ver}.parquet"
+    if not os.path.exists(corpus):
         print(f"synthesizing {args.docs}-doc corpus ...", file=sys.stderr)
-        sys.path.insert(0, REPO)
-        write_corpus_parquet(corpus, n_docs=args.docs, seed=42)
+        _synth.write_corpus_parquet(corpus, n_docs=args.docs, seed=42)
 
     lo = run_level(args.n, corpus)
     hi = run_level(args.n * 4, corpus)
