@@ -31,7 +31,12 @@ from docling_spark.ops.dedup import (
     minhash_signature,
     simhash,
 )
-from docling_spark.ops.similarity import ann_bucketed_topk, cosine_topk, srp_signature
+from docling_spark.ops.similarity import (
+    ann_bucketed_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+    srp_signature,
+)
 from docling_spark.ops.textstats import LANG_CUES, fingerprint, lang_id, quality_score, token_count
 
 _SF_DEFAULT = "/root/testdata/sf0.001"
@@ -353,6 +358,18 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return srp_signature(_t(spark, sf_dir, "embeddings"), bits=8, dim=64, seed=7)
 
 
+def q_embedding_neardup(spark, sf_dir):
+    # embedding-cosine near-dup: SRP-bucket blocking + exact cosine filter
+    out = embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, bits=4, dim=64, seed=7
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cosine_e6"),
+    )
+
+
 def q_grid_densify(spark, sf_dir):
     # A10: sparse spanned cells → dense grid (inline fixture, same in oracle)
     from docling_spark.operators.grids import densify_grid_spark
@@ -500,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_neardup": q_embedding_neardup,
         "chunk_split": q_chunk_split,
         "grid_densify": q_grid_densify,
         "token_set_ops": q_token_set_ops,
@@ -610,21 +628,45 @@ def _duck_ann_cosine_sql() -> str:
     """
 
 
-def _duck_lsh_sql() -> str:
+def _duck_srp_bucket(bits: int) -> str:
+    """DuckDB expression for the SRP bucket of column `v` — same seeded
+    hyperplanes and strict-fold dot product as the Spark side."""
     import numpy as np
 
     rng = np.random.RandomState(7)
-    planes = rng.randn(8, 64)
+    planes = rng.randn(bits, 64)
     terms = []
-    for j in range(8):
+    for j in range(bits):
         lit = "[" + ",".join(repr(float(x)) for x in planes[j]) + "]::DOUBLE[]"
         dot = _duck_dot("v", lit)
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-    total = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _duck_lsh_sql() -> str:
+    total = _duck_srp_bucket(8)
     return (
         "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
         f"SELECT vec_id, CAST({total} AS BIGINT) AS bucket FROM base"
     )
+
+
+def _duck_neardup_sql() -> str:
+    total = _duck_srp_bucket(4)
+    dot_ab = _duck_dot("a.v", "b.v")
+    dot_aa = _duck_dot("a.v", "a.v")
+    dot_bb = _duck_dot("b.v", "b.v")
+    return f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        keyed AS (SELECT vec_id, v, CAST({total} AS BIGINT) AS bucket FROM base),
+        scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 6) AS cosine
+          FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, CAST(floor(cosine * 1000000) AS BIGINT) AS cosine_e6
+        FROM scored WHERE cosine >= 0.35
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -772,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _duck_simhash_sql(),
         "ann_cosine_topk": _duck_ann_cosine_sql(),
         "ann_lsh_buckets": _duck_lsh_sql(),
+        "embedding_neardup": _duck_neardup_sql(),
         "grid_densify": """
             WITH cells(row, col, row_span, col_span, text) AS (
               VALUES (0,0,1,2,'H'), (0,2,1,1,'S'), (1,0,2,1,'R'),

@@ -75,6 +75,44 @@ def srp_signature(emb: DataFrame, bits: int = 8, dim: int = 64, seed: int = 7,
     return base.select(F.col(id_col), bucket.cast("long").alias("bucket"))
 
 
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
+                            bits: int = 4, dim: int = 64, seed: int = 7,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for pairs
+    colliding in an SRP bucket with cosine ≥ threshold.
+
+    The scale shape: bucket blocking turns the O(N²) all-pairs comparison
+    into an equi-self-join on bucket — at N vectors and 2^bits buckets each
+    bucket holds ~N/2^bits candidates, so the shuffle carries vectors once
+    and the compare is bucket-local. Recall tunes with bits (fewer bits =
+    more candidates = higher recall); SRP collision probability for angle θ
+    is (1 - θ/π)^bits, high precisely for near-duplicate (small-angle)
+    pairs. Deterministic: seeded hyperplanes, id_a < id_b ordering."""
+    sig = srp_signature(emb, bits, dim, seed, id_col, vec_col)
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).join(sig, id_col)
+    a, b = base.alias("a"), base.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    ) / (
+        F.sqrt(F.expr("aggregate(zip_with(a.v, a.v, (x, y) -> x * y), 0D, (s, v) -> s + v)"))
+        * F.sqrt(F.expr("aggregate(zip_with(b.v, b.v, (x, y) -> x * y), 0D, (s, v) -> s + v)"))
+    )
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_bucketed_topk(emb: DataFrame, query_ids, k: int = 10, bits: int = 8,
                       dim: int = 64, seed: int = 7, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:

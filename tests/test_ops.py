@@ -104,6 +104,19 @@ def test_ann_bucketed_recall(emb):
     assert out and out[0]["neighbor_id"] == 1
 
 
+def test_embedding_neardup_pairs(emb):
+    from docling_spark.ops.similarity import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(emb, threshold=0.95, bits=4, dim=8).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    assert (0, 1) in got and got[(0, 1)] > 0.99  # the planted near-dup pair
+    # no pair violates the threshold, ordering is canonical
+    assert all(c >= 0.95 for c in got.values())
+    assert all(a < b for a, b in got)
+    # random vectors in 8-dim almost surely stay below 0.95 cosine
+    assert len(got) == 1
+
+
 def test_textstats(docs):
     from docling_spark.ops.textstats import fingerprint, lang_id, quality_score, token_count
 
