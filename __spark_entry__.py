@@ -487,6 +487,16 @@ def x_law_chunks(spark, sf_dir):
     return chunk_sink(extract(docs), level="odsek")
 
 
+def x_hybrid_chunks(spark, sf_dir):
+    # K2/K3/K4: token-budget hybrid chunker (pack / split / merge-peers)
+    from docling_spark.operators.hybrid_chunker import hybrid_chunk_sink
+    from docling_spark.pipeline import extract
+
+    _ensure_workers(spark)
+    docs = spark.read.parquet(_corpus_path(sf_dir))
+    return hybrid_chunk_sink(extract(docs), max_tokens=64)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -526,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": x_multimodal_image_features,
         "markdown_sink": x_markdown_sink,
         "law_chunks": x_law_chunks,
+        "hybrid_chunks": x_hybrid_chunks,
     }
 
 

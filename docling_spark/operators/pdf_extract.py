@@ -18,6 +18,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Tuple
 
+from docling_spark.functions.table_content import build_exclusion_set, is_table_content
 from docling_spark.functions.textnorm import decode_character_codes, parse_geometry
 
 Span = Tuple[str, str, Optional[str]]  # (kind, text, media_ref)
@@ -179,4 +180,16 @@ def normalize_pdf_spans(raw: List[Tuple[str, str, Optional[str]]]) -> List[Span]
 
     flush_table()
     out.extend(trailing)
+
+    # F15: drop flowed text that duplicates extracted table content (exact
+    # normalized match, meaningful-word match, or table-row/code shape) —
+    # annex_processor.py:605-684 semantics as a per-doc post-pass
+    cell_texts = [t for k, t, _r in out if k == "table_cell"]
+    if cell_texts:
+        exclusion = build_exclusion_set(cell_texts)
+        out = [
+            (k, t, r)
+            for k, t, r in out
+            if k != "text" or not is_table_content(t, exclusion)
+        ]
     return out

@@ -220,6 +220,22 @@ def synth_pdf_annex(doc_id: str, rng: random.Random) -> List[Span]:
     )
     top -= 24
 
+    # preamble (~half the annexes): an innocent sentence that must survive,
+    # plus flowed table-row/code fragments that F15 must drop (the text
+    # duplicates content the table stage extracts — annex_processor.py:605-684)
+    if rng.random() < 0.5:
+        cell(
+            _encode_win1250("Prehľad odpisových skupín podľa klasifikácie.", rng),
+            50, top, page, kind="text",
+        )
+        top -= 12
+        cell(f"1-1 {rng.randint(10, 35)}.{rng.randint(10, 99)} duplikát riadku",
+             50, top, page, kind="text")
+        top -= 12
+        cell(f"{rng.randint(10, 35)}.{rng.randint(10, 99)} {rng.randint(10, 35)}.{rng.randint(10, 99)}",
+             50, top, page, kind="text")
+        top -= 12
+
     n_groups = rng.randint(1, 3)
     item_counter = {}
     # emit cells deliberately OUT of reading order within each y-band to force

@@ -173,3 +173,51 @@ def test_extract_document_dispatch_deterministic():
     out = extract_document(_spans_of(synth_docling_stream("x", rng)))
     assert any(k == "table_cell" for k, _, _ in out)
     assert not any(k in ("page_footer", "page_header") for k, _, _ in out)
+
+
+# ---------------------------------------------------------------------------
+# F15: table-content text exclusion
+# ---------------------------------------------------------------------------
+
+
+def test_f15_exclusion_set_and_matcher():
+    from docling_spark.functions.table_content import build_exclusion_set, is_table_content
+
+    excl = build_exclusion_set(["Dojnice živé", "01.41.10", "1-1", ""])
+    # exact normalized hit
+    assert is_table_content("dojnice živé", excl)
+    # meaningful-word hit (word > 3 chars from a multi-word cell)
+    assert is_table_content("tu sa spomína dojnice v texte", excl)
+    # row-shaped fragment "N-M KP Desc"
+    assert is_table_content("1-9 01.41.10 Kravy", excl)
+    assert is_table_content("- 1-9 01.41.10 Kravy", excl)
+    # bare KP code / bare item number
+    assert is_table_content("28.93", excl)
+    assert is_table_content("1-4", excl)
+    # ≥2 code fragments
+    assert is_table_content("23.44 25.73", excl)
+    # guards: too short, no hit
+    assert not is_table_content("ab", excl)
+    assert not is_table_content("úplne iný text bez zhody", excl)
+
+
+def test_f15_pdf_text_duplicating_table_dropped():
+    from docling_spark.operators.pdf_extract import normalize_pdf_spans
+
+    raw = [
+        ("pdf_cell", "Odpisová skupina 1", "p=1;l=10;t=100"),
+        ("pdf_cell", "1-1", "p=1;l=10;t=90"),
+        ("pdf_cell", "01.41.10", "p=1;l=60;t=90"),
+        ("pdf_cell", "Dojnice", "p=1;l=120;t=90"),
+        # flowed text later on the page duplicating the row (should drop)
+        ("pdf_cell", "1-1 01.41.10 Dojnice", "p=1;l=10;t=50"),
+        # unrelated prose (should survive)
+        ("pdf_cell", "Tento odsek hovorí niečo úplne iné.", "p=1;l=10;t=40"),
+    ]
+    out = normalize_pdf_spans(raw)
+    texts = [t for k, t, _ in out if k == "text"]
+    assert "Tento odsek hovorí niečo úplne iné." in texts
+    assert all("01.41.10" not in t for t in texts)
+    # the table itself still has the cell
+    cells = [t for k, t, _ in out if k == "table_cell"]
+    assert "01.41.10" in cells

@@ -1,0 +1,105 @@
+"""Hybrid token-aware chunker tests (K2 pack / K3 split / K4 merge)."""
+
+from docling_spark.operators.hybrid_chunker import (
+    _split_oversize,
+    count_tokens,
+    hybrid_chunk_document,
+)
+
+_SPANS = [
+    ("title", "Zákon č. 1/2020 Z. z.", None),
+    ("part", "PRVÁ ČASŤ", "#cast-1"),
+    ("paragraph", "§ 1", "#paragraf-1"),
+    ("odsek", "(1)", "#paragraf-1.odsek-1"),
+    ("text", "krátky text", "#paragraf-1.odsek-1"),
+    ("odsek", "(2)", "#paragraf-1.odsek-2"),
+    ("text", "iný krátky text", "#paragraf-1.odsek-2"),
+    ("paragraph", "§ 2", "#paragraf-2"),
+    ("odsek", "(1)", "#paragraf-2.odsek-1"),
+    ("text", " ".join(f"slovo{i}" for i in range(200)), "#paragraf-2.odsek-1"),
+]
+
+
+def test_budget_respected_and_text_preserved():
+    max_tokens = 32
+    chunks = hybrid_chunk_document("d1", _SPANS, max_tokens=max_tokens)
+    assert chunks, "no chunks emitted"
+    for c in chunks:
+        _doc, _no, _cid, content, headings, n_tokens, _nu = c
+        # n_tokens is the contextualized count and must respect the budget
+        # (single-word-over-budget is the only sanctioned overflow; none here)
+        assert n_tokens <= max_tokens, (content, headings, n_tokens)
+    # every source word survives, in order
+    joined = "\n".join(c[3] for c in chunks)
+    for i in range(200):
+        assert f"slovo{i}" in joined
+    assert joined.index("slovo0") < joined.index("slovo199")
+
+
+def test_k4_merges_small_same_heading_peers():
+    # the two small odseks of § 1 share identical headings → one merged chunk
+    chunks = hybrid_chunk_document("d1", _SPANS, max_tokens=64)
+    texts = [c[3] for c in chunks]
+    merged = [t for t in texts if "krátky text" in t and "iný krátky text" in t]
+    assert merged, f"small same-heading peers not merged: {texts}"
+    # merged chunk counts both source units
+    m = next(c for c in chunks if "iný krátky text" in c[3])
+    assert m[6] >= 2
+
+
+def test_k4_does_not_merge_across_headings():
+    chunks = hybrid_chunk_document("d1", _SPANS, max_tokens=10_000)
+    # even with an infinite budget, § 1 and § 2 content must stay separate
+    for c in chunks:
+        content = c[3]
+        assert not ("krátky text" in content and "slovo0" in content)
+
+
+def test_k2_oversize_unit_splits():
+    chunks = hybrid_chunk_document("d1", _SPANS, max_tokens=32)
+    split_ids = [c[2] for c in chunks if "/s" in c[2]]
+    assert len(split_ids) >= 2, "200-word odsek should split into several chunks"
+    # chunk_no is a dense per-doc sequence
+    assert [c[1] for c in chunks] == list(range(len(chunks)))
+
+
+def test_k3_headings_longer_than_budget_dropped():
+    big_headings = [" ".join(f"h{i}" for i in range(50))]
+    pieces, eff = _split_oversize("a b c", big_headings, max_tokens=16)
+    assert eff == []            # reference: warn + drop headings
+    assert pieces == ["a b c"]
+
+
+def test_k3_single_giant_word_emitted_alone():
+    pieces, _ = _split_oversize("x " + "y" * 5 + " " + "z,z.z;z:z!z?" * 40, ["h"], 8)
+    assert pieces  # no crash, nothing dropped
+    total = " ".join(pieces)
+    assert "yyyyy" in total
+
+
+def test_deterministic():
+    a = hybrid_chunk_document("d1", _SPANS, max_tokens=32)
+    b = hybrid_chunk_document("d1", _SPANS, max_tokens=32)
+    assert a == b
+
+
+def test_spark_sink_roundtrip(spark, corpus_path):
+    from docling_spark.operators.hybrid_chunker import hybrid_chunk_sink
+    from docling_spark.pipeline import extract
+
+    docs = extract(spark.read.parquet(corpus_path))
+    out = hybrid_chunk_sink(docs, max_tokens=64).collect()
+    assert out
+    assert all(r["n_tokens"] <= 64 or r["n_source_units"] == 1 for r in out)
+    # chunk_no dense per doc
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_no"])
+    for nos in by_doc.values():
+        assert sorted(nos) == list(range(len(nos)))
+
+
+def test_count_tokens_matches_textstats_regex():
+    # the counter must agree with ops.textstats n_tokens_bpe semantics
+    assert count_tokens("abc 123 ,x.") == 5  # abc, 123, ',', 'x', '.'
+    assert count_tokens("") == 0
