@@ -469,6 +469,20 @@ def x_multimodal_image_features(spark, sf_dir):
     return image_features(synth_media_df(spark, n=32, seed=13))
 
 
+def x_multimodal_audio_features(spark, sf_dir):
+    from docling_spark.ops.multimodal import audio_features, synth_media_df
+
+    _ensure_workers(spark)
+    return audio_features(synth_media_df(spark, n=32, seed=13))
+
+
+def x_multimodal_frame_sample(spark, sf_dir):
+    from docling_spark.ops.multimodal import frame_sample, synth_media_df
+
+    _ensure_workers(spark)
+    return frame_sample(synth_media_df(spark, n=32, seed=13), every_n=10)
+
+
 def x_markdown_sink(spark, sf_dir):
     from docling_spark.operators.serialize import markdown_sink
     from docling_spark.pipeline import extract
@@ -534,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_normalized": x_extract_normalized,
         "extract_kind_histogram": x_extract_kind_histogram,
         "multimodal_image_features": x_multimodal_image_features,
+        "multimodal_audio_features": x_multimodal_audio_features,
+        "multimodal_frame_sample": x_multimodal_frame_sample,
         "markdown_sink": x_markdown_sink,
         "law_chunks": x_law_chunks,
         "hybrid_chunks": x_hybrid_chunks,

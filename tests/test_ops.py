@@ -158,3 +158,33 @@ def test_multimodal_plumbing(spark):
     for df in (media_metadata(media), image_features(media)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_multimodal_audio_and_resize(spark):
+    from docling_spark.ops.multimodal import (
+        audio_features,
+        image_resize,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=12, seed=13)
+    audio = audio_features(media).collect()
+    assert len(audio) == 12
+    assert all(r["decode_ok"] for r in audio)
+    assert all(r["sample_rate"] in (8000, 16000, 22050, 44100) for r in audio)
+    assert all(0.5 <= r["duration_s"] <= 61.0 for r in audio)
+
+    thumbs = image_resize(media, max_side=32).collect()
+    for r in thumbs:
+        assert max(r["out_width"], r["out_height"]) <= 32
+        # aspect preserved within integer truncation
+        if r["width"] >= r["height"]:
+            assert r["out_width"] >= r["out_height"]
+        else:
+            assert r["out_height"] >= r["out_width"]
+        assert len(r["out_payload"]) == r["out_width"] * r["out_height"]
+    # deterministic + narrow plan
+    thumbs2 = image_resize(synth_media_df(spark, n=12, seed=13), max_side=32).collect()
+    assert sorted(map(str, thumbs)) == sorted(map(str, thumbs2))
+    plan = image_resize(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
