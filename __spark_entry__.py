@@ -411,6 +411,70 @@ def q_token_set_ops(spark, sf_dir):
     )
 
 
+def q_minhash_verified_pairs(spark, sf_dir):
+    # the full near-dup pipeline at scale: LSH band candidates → exact
+    # shingle-overlap verification join (candidates only — the tiny fraction
+    # that collided — never the quadratic all-pairs)
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_band_pairs(docs)
+    sh = docs.select(
+        F.col("doc_id"), F.expr(P.ngrams_spark("text", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", inter.alias("inter_size"), uni.alias("union_size"))
+        .filter(F.col("inter_size") * 5 >= F.col("union_size"))  # jaccard ≥ 0.2
+    )
+
+
+def q_reference_extract(spark, sf_dir):
+    # C4/C5 family: all pattern matches with ordinal positions
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.expr("regexp_extract_all(text, '(table|join|window)', 1)")).alias(
+            "pos", "ref"
+        ),
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "ref")
+
+
+def q_source_pivot(spark, sf_dir):
+    # A5 family: count + sum(when) pivot per source
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def q_decode_chars(spark, sf_dir):
+    # C1: /cNNN decode with the Windows-1250 override map, cross-engine
+    # checked (input synthesized deterministically from doc_id IN the query
+    # so both engines decode the identical string)
+    from docling_spark.functions.spark_udfs import decode_character_codes_udf
+
+    _ensure_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    encoded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("x/c"),
+            (138 + F.col("doc_id") % 118).cast("string"),
+            F.lit(" y/c"),
+            (65 + F.col("doc_id") % 26).cast("string"),
+            F.lit("z"),
+        ).alias("encoded"),
+    )
+    return encoded.select(
+        "doc_id", "encoded", decode_character_codes_udf("encoded").alias("decoded")
+    )
+
+
 def q_chunk_split(spark, sf_dir):
     # K-family: fixed-token-window chunking → exploded chunk table
     docs = _t(spark, sf_dir, "documents")
@@ -543,6 +607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_neardup": q_embedding_neardup,
         "chunk_split": q_chunk_split,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "reference_extract": q_reference_extract,
+        "source_pivot": q_source_pivot,
+        "decode_chars": q_decode_chars,
         "grid_densify": q_grid_densify,
         "token_set_ops": q_token_set_ops,
         "extract_normalized": x_extract_normalized,
@@ -696,6 +764,34 @@ def _duck_neardup_sql() -> str:
     """
 
 
+def _duck_decode_sql() -> str:
+    """C1 oracle: the same Windows-1250 override map + chr() fallback,
+    expressed as a CASE over the code point (generated from the engine's own
+    map so both sides share one source of truth)."""
+    from docling_spark.functions.textnorm import _WIN1250_OVERRIDE
+
+    cases = " ".join(
+        f"WHEN cp = {cp} THEN '{ch}'" if ch != "'" else f"WHEN cp = {cp} THEN ''''"
+        for cp, ch in sorted(_WIN1250_OVERRIDE.items())
+    )
+    return f"""
+        WITH enc AS (
+          SELECT doc_id,
+                 'x/c' || CAST(138 + doc_id % 118 AS VARCHAR)
+                 || ' y/c' || CAST(65 + doc_id % 26 AS VARCHAR) || 'z' AS encoded,
+                 138 + doc_id % 118 AS cp1,
+                 65 + doc_id % 26 AS cp2
+          FROM documents
+        )
+        SELECT doc_id, encoded,
+               'x' || (SELECT CASE {cases} ELSE chr(CAST(cp AS INTEGER)) END
+                       FROM (SELECT cp1 AS cp))
+               || ' y' || (SELECT CASE {cases} ELSE chr(CAST(cp AS INTEGER)) END
+                           FROM (SELECT cp2 AS cp)) || 'z' AS decoded
+        FROM enc
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     toks = P.tokens_duck("text")
     cue_all = "|".join(w for ws in LANG_CUES.values() for w in ws)
@@ -842,6 +938,40 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _duck_ann_cosine_sql(),
         "ann_lsh_buckets": _duck_lsh_sql(),
         "embedding_neardup": _duck_neardup_sql(),
+        "minhash_verified_pairs": f"""
+            WITH t AS (SELECT doc_id, {P.token_hashes_duck('text')} AS th FROM documents),
+            sig AS (SELECT doc_id,
+                    {', '.join(f"{P.minhash_duck('th', i)} AS mh_{i}" for i in range(16))}
+                    FROM t),
+            keyed AS (SELECT doc_id,
+                      {', '.join('(' + " || ':' || ".join(f"mh_{b * 4 + j}" for j in range(4)) + f") AS bk{b}" for b in range(4))}
+                      FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM keyed a JOIN keyed b
+                     ON a.doc_id < b.doc_id
+                     AND ({' OR '.join(f'a.bk{b} = b.bk{b}' for b in range(4))})),
+            sh AS (SELECT doc_id, {P.ngrams_duck('text', 3)} AS sh FROM documents)
+            SELECT id_a, id_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_size
+            FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+            WHERE len(list_intersect(a.sh, b.sh)) * 5
+                  >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        """,
+        "reference_extract": """
+            WITH m AS (SELECT doc_id,
+                              regexp_extract_all(text, '(table|join|window)', 1) AS refs
+                       FROM documents)
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, refs[i] AS ref
+            FROM m, unnest(range(1, len(refs) + 1)) t(i)
+        """,
+        "source_pivot": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "decode_chars": _duck_decode_sql(),
         "grid_densify": """
             WITH cells(row, col, row_span, col_span, text) AS (
               VALUES (0,0,1,2,'H'), (0,2,1,1,'S'), (1,0,2,1,'R'),
