@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "simhash",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "embedding_neardup",
+    "minhash_verified_pairs",
+    "reference_extract",
+    "source_pivot",
     "chunk_split",
 ]
 

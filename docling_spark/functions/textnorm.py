@@ -73,7 +73,9 @@ _NBSP_TABLE = str.maketrans({"\xa0": " "})
 def normalize_nbsp(text: Optional[str]) -> str:
     if text is None:
         return ""
-    return text.translate(_NBSP_TABLE).strip()
+    if "\xa0" in text:  # membership test is ~10× cheaper than translate
+        text = text.translate(_NBSP_TABLE)
+    return text.strip()
 
 
 # --- A2: token joining with punctuation rules (sequential_parser.py:836-874) --

@@ -76,9 +76,19 @@ class _TreeBuilder(HTMLParser):
 
 def _node_text(node: _Node) -> str:
     """All text under node, document order, whitespace-collapsed."""
+    if not node.children:  # leaf fast path — the common case
+        joined = "".join(t for _slot, t in node.text_parts)
+        if "\n" in joined or "\t" in joined or "  " in joined:
+            return _WS_RE.sub(" ", joined).strip()
+        return joined.strip()
+
     out: List[str] = []
 
     def walk(n: _Node) -> None:
+        if not n.children:
+            for _slot, t in n.text_parts:
+                out.append(t)
+            return
         parts = dict_groupby(n.text_parts)
         for slot in range(len(n.children) + 1):
             for t in parts.get(slot, ()):
@@ -119,43 +129,84 @@ _FAST_UNSAFE_RE = re.compile(r"<!--|<script|<style|<!\[CDATA\[|<\?")
 _VOID_TAGS = {"img", "br", "hr", "meta", "link", "input"}
 
 
-def _fast_parse(html: str) -> Optional[_Node]:
-    """Regex-scan parse; returns None when the payload needs the robust
-    parser (caller falls back)."""
-    if _FAST_UNSAFE_RE.search(html):
+_TAG_HEAD_RE = re.compile(r"(/?)([a-zA-Z][a-zA-Z0-9]*)")
+
+# machine-generated HTML repeats the same attribute strings (class="odsek",
+# class="pismeno", …) thousands of times per corpus — memoize the parsed
+# dict. The dicts are read-only downstream (attrs.get only), so sharing one
+# instance is safe; the size bound keeps adversarial payloads from growing
+# the cache without limit.
+_ATTRS_CACHE: Dict[str, Dict[str, str]] = {}
+
+
+def _parse_attrs(attrs_str: str) -> Dict[str, str]:
+    cached = _ATTRS_CACHE.get(attrs_str)
+    if cached is not None:
+        return cached
+    attrs = {}
+    for am in _ATTR_RE.finditer(attrs_str):
+        attrs[am.group(1).lower()] = am.group(2) or am.group(3) or am.group(4) or ""
+    if len(_ATTRS_CACHE) < 4096:
+        _ATTRS_CACHE[attrs_str] = attrs
+    return attrs
+
+
+def _fast_parse(payload: str) -> Optional[_Node]:
+    """Scan parse; returns None when the payload needs the robust parser
+    (caller falls back).
+
+    Hot path: slice each tag at the first '>' (find is ~6× cheaper than the
+    backtracking attr regex). A '>' hiding inside a quoted attribute value
+    leaves the slice with an odd quote count — that rare tag re-parses with
+    the full regex, so the two paths stay byte-equivalent (asserted against
+    the stdlib parser over the corpus in tests/test_properties.py)."""
+    if _FAST_UNSAFE_RE.search(payload):
         return None
-    import html as html_mod
+    from html import unescape as _unescape
 
     root = _Node("#root", {})
     stack = [root]
     pos = 0
-    n = len(html)
+    n = len(payload)
+    find = payload.find
     while pos < n:
-        lt = html.find("<", pos)
+        lt = find("<", pos)
         if lt == -1:
-            text = html[pos:]
+            text = payload[pos:]
             if text:
                 top = stack[-1]
                 top.text_parts.append(
-                    (len(top.children), html_mod.unescape(text) if "&" in text else text)
+                    (len(top.children), _unescape(text) if "&" in text else text)
                 )
             break
         if lt > pos:
-            text = html[pos:lt]
+            text = payload[pos:lt]
             top = stack[-1]
             top.text_parts.append(
-                (len(top.children), html_mod.unescape(text) if "&" in text else text)
+                (len(top.children), _unescape(text) if "&" in text else text)
             )
-        m = _FAST_TAG_RE.match(html, lt)
-        if not m:
-            if html.startswith("<!", lt):  # doctype
-                gt = html.find(">", lt)
-                if gt == -1:
-                    break
-                pos = gt + 1
-                continue
-            return None  # malformed — robust parser decides
-        closing, tag, attrs_str, self_close = m.groups()
+        gt = find(">", lt + 1)
+        if gt == -1:
+            return None  # truncated tag — robust parser decides
+        seg = payload[lt + 1 : gt]
+        if seg[:1] == "!":  # doctype (comments excluded by the unsafe guard)
+            pos = gt + 1
+            continue
+        if ('"' in seg and seg.count('"') % 2) or ("'" in seg and seg.count("'") % 2):
+            # quoted '>' split the tag — take the slow exact regex for this tag
+            m = _FAST_TAG_RE.match(payload, lt)
+            if not m:
+                return None
+            closing, tag, attrs_str, self_close = m.groups()
+            end = m.end()
+        else:
+            m = _TAG_HEAD_RE.match(seg)
+            if not m:
+                return None  # malformed — robust parser decides
+            closing, tag = m.group(1), m.group(2)
+            attrs_str = seg[m.end():]
+            self_close = seg.endswith("/")
+            end = gt + 1
         tag = tag.lower()
         if closing:
             for i in range(len(stack) - 1, 0, -1):
@@ -163,17 +214,16 @@ def _fast_parse(html: str) -> Optional[_Node]:
                     del stack[i:]
                     break
         else:
-            attrs = {}
-            if attrs_str and "=" in attrs_str:
-                for am in _ATTR_RE.finditer(attrs_str):
-                    attrs[am.group(1).lower()] = (
-                        am.group(2) or am.group(3) or am.group(4) or ""
-                    )
+            attrs = (
+                _parse_attrs(attrs_str)
+                if attrs_str and "=" in attrs_str
+                else {}
+            )
             node = _Node(tag, attrs)
             stack[-1].children.append(node)
             if tag not in _VOID_TAGS and not self_close:
                 stack.append(node)
-        pos = m.end()
+        pos = end
     return root
 
 
