@@ -33,8 +33,10 @@ from docling_spark.ops.dedup import (
 )
 from docling_spark.ops.similarity import (
     ann_bucketed_topk,
+    ann_ivf_topk,
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_assign,
     srp_signature,
 )
 from docling_spark.ops.textstats import LANG_CUES, fingerprint, lang_id, quality_score, token_count
@@ -358,6 +360,22 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return srp_signature(_t(spark, sf_dir, "embeddings"), bits=8, dim=64, seed=7)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF scale path: nearest-centroid inverted lists + n_probe search
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=8, n_probe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cosine_e6"),
+        "rank",
+    )
+
+
+def q_ivf_cells(spark, sf_dir):
+    return ivf_assign(_t(spark, sf_dir, "embeddings"), n_cells=8, dim=64, seed=11)
+
+
 def q_embedding_neardup(spark, sf_dir):
     # embedding-cosine near-dup: SRP-bucket blocking + exact cosine filter
     out = embedding_neardup_pairs(
@@ -606,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_neardup": q_embedding_neardup,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ivf_cells": q_ivf_cells,
         "chunk_split": q_chunk_split,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "reference_extract": q_reference_extract,
@@ -761,6 +781,67 @@ def _duck_neardup_sql() -> str:
         )
         SELECT id_a, id_b, CAST(floor(cosine * 1000000) AS BIGINT) AS cosine_e6
         FROM scored WHERE cosine >= 0.35
+    """
+
+
+def _duck_ivf_cents(n_cells: int = 8, dim: int = 64, seed: int = 11) -> str:
+    """VALUES table of the same unit-norm seeded centroids as the Spark side."""
+    from docling_spark.ops.similarity import _centroids
+
+    cents = _centroids(n_cells, dim, seed)
+    rows = ", ".join(
+        f"({i}, [" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"cents(cell, c) AS (VALUES {rows})"
+
+
+def _duck_ivf_assign_sql() -> str:
+    dot_vc = _duck_dot("v", "c")
+    return f"""
+        WITH {_duck_ivf_cents()},
+        base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+          SELECT vec_id, cell, {dot_vc} AS d,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY {dot_vc} DESC, cell ASC) AS rn
+          FROM base CROSS JOIN cents
+        )
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM scored WHERE rn = 1
+    """
+
+
+def _duck_ivf_topk_sql() -> str:
+    dot_vc = _duck_dot("v", "c")
+    dot_qv = _duck_dot("p.q", "cor.v")
+    dot_qq = _duck_dot("p.q", "p.q")
+    dot_vv = _duck_dot("cor.v", "cor.v")
+    return f"""
+        WITH {_duck_ivf_cents()},
+        base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, v, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY {dot_vc} DESC, cell ASC) AS rn
+          FROM base CROSS JOIN cents
+        ),
+        corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+        qprobe AS (SELECT vec_id AS query_id, v AS q, cell
+                   FROM assign WHERE vec_id IN (0,1,2,3,4) AND rn <= 2),
+        scored AS (
+          SELECT p.query_id, cor.vec_id AS neighbor_id,
+                 round({dot_qv} / (sqrt({dot_qq}) * sqrt({dot_vv})), 6) AS cosine
+          FROM qprobe p JOIN corpus cor
+            ON cor.cell = p.cell AND cor.vec_id != p.query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id,
+               CAST(floor(cosine * 1000000) AS BIGINT) AS cosine_e6,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
     """
 
 
@@ -972,6 +1053,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "decode_chars": _duck_decode_sql(),
+        "ann_ivf_topk": _duck_ivf_topk_sql(),
+        "ivf_cells": _duck_ivf_assign_sql(),
         "grid_densify": """
             WITH cells(row, col, row_span, col_span, text) AS (
               VALUES (0,0,1,2,'H'), (0,2,1,1,'S'), (1,0,2,1,'R'),

@@ -75,6 +75,92 @@ def srp_signature(emb: DataFrame, bits: int = 8, dim: int = 64, seed: int = 7,
     return base.select(F.col(id_col), bucket.cast("long").alias("bucket"))
 
 
+def _centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids. Production IVF trains these
+    with k-means over a driver-collected sample and broadcasts them — the
+    plan shape (assign = argmin over centroid literals, probe = bucket
+    equi-join) is identical; seeded random centroids keep the operator
+    deterministic and cross-engine verifiable in this sandbox."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_cells, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_expr(cents: np.ndarray, vec: str = "v") -> F.Column:
+    """argmax-by-dot cell assignment as a pure column expression (JVM-side):
+    fold over centroid literals keeping (best_dot, best_cell)."""
+    best_dot = F.lit(float("-inf"))
+    best_cell = F.lit(-1)
+    for i, c in enumerate(cents):
+        lit = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+        d = _dot(vec, lit)
+        better = d > best_dot
+        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best_dot = F.when(better, d).otherwise(best_dot)
+    return best_cell.cast("long")
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = 8, dim: int = 64, seed: int = 11,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell) — IVF coarse-quantizer assignment (nearest centroid by
+    dot product; unit-norm centroids ⇒ nearest-by-cosine up to vector norm)."""
+    cents = _centroids(n_cells, dim, seed)
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    return base.select(F.col(id_col), _cell_expr(cents).alias("cell"))
+
+
+def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
+                 n_probe: int = 2, dim: int = 64, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors live in their nearest-
+    centroid cell; each query probes its `n_probe` nearest cells and ranks
+    candidates exactly. At scale the cell equi-join replaces the cross
+    product (candidates ≈ n_probe/n_cells of the corpus), and the inverted
+    lists are exactly a partitioning/bucketing key for the corpus table."""
+    cents = _centroids(n_cells, dim, seed)
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    corpus = base.select(F.col(id_col), "v", _cell_expr(cents).alias("cell"))
+
+    # per-query probe list: top n_probe centroids by dot product
+    q = base.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+    )
+    probe_structs = []
+    for i, c in enumerate(cents):
+        lit = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+        # negcell makes reverse(sort asc) == (dot desc, cell asc) — the same
+        # tie-break as the oracle's ORDER BY dot DESC, cell ASC
+        probe_structs.append(
+            F.struct(
+                _dot("q", lit).alias("d"),
+                F.lit(-i).alias("negcell"),
+                F.lit(i).cast("long").alias("cell"),
+            )
+        )
+    probes = F.slice(
+        F.reverse(F.array_sort(F.array(*probe_structs))), 1, n_probe
+    )
+    q_probed = q.select(
+        "query_id", "q", F.explode(probes).alias("p")
+    ).select("query_id", "q", F.col("p.cell").alias("cell"))
+
+    joined = corpus.join(
+        F.broadcast(q_probed), corpus["cell"] == q_probed["cell"]
+    ).filter(F.col(id_col) != F.col("query_id"))
+    cos = _dot("q", "v") / (F.sqrt(_dot("q", "q")) * F.sqrt(_dot("v", "v")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id", F.col(id_col).alias("neighbor_id"), F.round(cos, 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
                             bits: int = 4, dim: int = 64, seed: int = 7,
                             id_col: str = "vec_id",

@@ -104,6 +104,18 @@ def test_ann_bucketed_recall(emb):
     assert out and out[0]["neighbor_id"] == 1
 
 
+def test_ann_ivf(emb):
+    from docling_spark.ops.similarity import ann_ivf_topk, ivf_assign
+
+    cells = {r["vec_id"]: r["cell"] for r in
+             ivf_assign(emb, n_cells=4, dim=8, seed=11).collect()}
+    assert set(cells) == set(range(20))
+    assert cells[0] == cells[1]  # near-identical vectors share a cell
+    out = ann_ivf_topk(emb, query_ids=[0], k=3, n_cells=4, n_probe=2, dim=8, seed=11).collect()
+    assert out and out[0]["neighbor_id"] == 1  # planted neighbor found
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
 def test_embedding_neardup_pairs(emb):
     from docling_spark.ops.similarity import embedding_neardup_pairs
 
