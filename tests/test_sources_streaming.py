@@ -94,3 +94,70 @@ def test_stream_extract_available_now(spark, corpus_path, tmp_path):
     q2 = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 60
+
+
+def test_stream_dedup_first_seen_across_batches(spark, corpus_path, tmp_path):
+    """applyInPandasWithState: duplicates dropped across micro-batch AND
+    restart boundaries (state survives via the streaming checkpoint)."""
+    from docling_spark.streaming.stream_extract import stream_dedup
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    docs = spark.read.parquet(corpus_path).limit(10).cache()
+    docs.write.parquet(in_dir, mode="overwrite")
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_dedup(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == 10  # all distinct
+
+    # re-ingest the SAME documents as new files (new doc_ids, same text) —
+    # the stateful operator must drop every one of them
+    docs.selectExpr("concat(doc_id, '-copy') AS doc_id", "spans").write.parquet(
+        in_dir, mode="append"
+    )
+    q2 = stream_dedup(spark, in_dir, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 10  # no duplicates emitted
+    assert out.select("text_hash").distinct().count() == 10
+
+
+def test_stream_metrics_windowed(spark, corpus_path, tmp_path):
+    """Watermarked 1-minute windows over an ingest timestamp."""
+    from pyspark.sql import functions as F
+
+    from docling_spark.streaming.stream_extract import stream_metrics
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # two distinct minutes of ingest time, 60 docs split across them
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "ingest_ts",
+        F.when(
+            F.xxhash64("doc_id") % 2 == 0,
+            F.lit("2026-01-01 10:00:30"),
+        ).otherwise(F.lit("2026-01-01 10:01:30")).cast("timestamp"),
+    )
+    docs.write.parquet(in_dir, mode="overwrite")
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_metrics(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+    # append mode: windows emit only once the watermark passes their end —
+    # a later batch advances it (watermark moves at batch boundaries)
+    docs.limit(1).withColumn(
+        "ingest_ts", F.lit("2026-01-01 10:10:00").cast("timestamp")
+    ).write.parquet(in_dir, mode="append")
+    q2 = stream_metrics(spark, in_dir, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    got = {
+        str(r["window_start"]): (r["n_docs"], r["n_spans"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the two original minutes are closed and emitted; the 10:10 window
+    # stays open (watermark has not passed it)
+    assert len(got) == 2
+    assert sum(n for n, _ in got.values()) == 60
