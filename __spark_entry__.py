@@ -429,6 +429,50 @@ def q_token_set_ops(spark, sf_dir):
     )
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape: 6-table join — dims (region, nation) broadcast, fact
+    # joins (orders/lineitem/supplier/customer) left to Catalyst/AQE which
+    # picks shuffled-hash/sort-merge with runtime re-plan; predicate on the
+    # region prunes the nation build side before any fact shuffle
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .filter((F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+def q_parts_by_type(spark, sf_dir):
+    # part × lineitem rollup: mid-size dim join + grouped top-k by revenue
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_type").asc())
+        .limit(5)
+    )
+
+
 def q_minhash_verified_pairs(spark, sf_dir):
     # the full near-dup pipeline at scale: LSH band candidates → exact
     # shingle-overlap verification join (candidates only — the tiny fraction
@@ -490,6 +534,42 @@ def q_decode_chars(spark, sf_dir):
     )
     return encoded.select(
         "doc_id", "encoded", decode_character_codes_udf("encoded").alias("decoded")
+    )
+
+
+def q_join_tokens(spark, sf_dir):
+    # A2: the parity-critical fragment joiner, cross-engine checked on
+    # fragment arrays synthesized identically in both dialects
+    from docling_spark.functions.spark_udfs import join_tokens_udf
+
+    _ensure_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(P.tokens_spark("text"))
+    frag = F.array(
+        F.element_at(toks, 1),
+        F.lit(","),
+        F.element_at(toks, 2),
+        F.lit("("),
+        F.element_at(toks, 3),
+        F.lit(")"),
+        F.lit("."),
+        F.element_at(toks, 4),
+    )
+    return docs.select("doc_id", join_tokens_udf(frag).alias("joined"))
+
+
+def q_normalize_match(spark, sf_dir):
+    # C2: lower → NFD → strip combining marks → collapse whitespace,
+    # cross-checked against DuckDB strip_accents on a Slovak-diacritic prefix
+    from docling_spark.functions.spark_udfs import normalize_for_matching_udf
+
+    _ensure_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    probe = F.concat(
+        F.lit("Šľachtický  žáner Čaj "), F.substring(F.col("text"), 1, 30)
+    )
+    return docs.select(
+        "doc_id", normalize_for_matching_udf(probe).alias("normalized")
     )
 
 
@@ -627,10 +707,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_cells": q_ivf_cells,
         "chunk_split": q_chunk_split,
+        "local_supplier_volume": q_local_supplier_volume,
+        "parts_by_type": q_parts_by_type,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "reference_extract": q_reference_extract,
         "source_pivot": q_source_pivot,
         "decode_chars": q_decode_chars,
+        "join_tokens": q_join_tokens,
+        "normalize_match": q_normalize_match,
         "grid_densify": q_grid_densify,
         "token_set_ops": q_token_set_ops,
         "extract_normalized": x_extract_normalized,
@@ -845,6 +929,35 @@ def _duck_ivf_topk_sql() -> str:
     """
 
 
+def _duck_join_tokens_sql() -> str:
+    """A2 oracle: the same spacing rules as textnorm.join_tokens, expressed
+    as a list_reduce fold (sentinel '' = not-started, matching the Python
+    accumulator semantics)."""
+    pure = "('.', ',', ';', ':', ')', '(', '?', '!', '»', '«')"
+    nospace = "('.', ',', ';', ':', ')', ']', '!', '?')"
+    step = f"""(acc, x) -> CASE
+        WHEN x IS NULL OR trim(x) = '' THEN acc
+        WHEN acc = '' THEN trim(x)
+        WHEN trim(x) IN {pure}
+             OR substr(trim(x), 1, 1) IN {nospace}
+             OR acc LIKE '%(' THEN acc || trim(x)
+        ELSE acc || ' ' || trim(x) END"""
+    toks = P.tokens_duck("text")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        f AS (SELECT doc_id,
+                     [toks[1], ',', toks[2], '(', toks[3], ')', '.', toks[4]] AS frag
+              FROM t)
+        SELECT doc_id,
+               regexp_replace(
+                 replace(replace(
+                   list_reduce(list_prepend('', frag), {step}),
+                   '120 )', '120)'), 'č. 1 .', 'č. 1.'),
+                 '\\s+([,.])', '\\1', 'g') AS joined
+        FROM f
+    """
+
+
 def _duck_decode_sql() -> str:
     """C1 oracle: the same Windows-1250 override map + chr() fallback,
     expressed as a CASE over the code point (generated from the engine's own
@@ -1019,6 +1132,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _duck_ann_cosine_sql(),
         "ann_lsh_buckets": _duck_lsh_sql(),
         "embedding_neardup": _duck_neardup_sql(),
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'EUROPE'
+              AND o_orderdate >= DATE '1994-01-01'
+              AND o_orderdate <  DATE '1996-01-01'
+            GROUP BY n_name
+        """,
+        "parts_by_type": """
+            SELECT p_type,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
+            ORDER BY revenue DESC, p_type ASC LIMIT 5
+        """,
         "minhash_verified_pairs": f"""
             WITH t AS (SELECT doc_id, {P.token_hashes_duck('text')} AS th FROM documents),
             sig AS (SELECT doc_id,
@@ -1053,6 +1190,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "decode_chars": _duck_decode_sql(),
+        "join_tokens": _duck_join_tokens_sql(),
+        "normalize_match": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     strip_accents(lower('Šľachtický  žáner Čaj ' || substr(text, 1, 30))),
+                     '\\s+', ' ', 'g')) AS normalized
+            FROM documents
+        """,
         "ann_ivf_topk": _duck_ivf_topk_sql(),
         "ivf_cells": _duck_ivf_assign_sql(),
         "grid_densify": """

@@ -26,6 +26,8 @@ EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "3000"))
 BENCH_QUERIES = [
     "pricing_summary",
     "topk_revenue",
+    "local_supplier_volume",
+    "parts_by_type",
     "anti_join_audit",
     "asof_last_marker",
     "range_join_bands",
@@ -41,6 +43,7 @@ BENCH_QUERIES = [
     "simhash",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf_topk",
     "embedding_neardup",
     "minhash_verified_pairs",
     "reference_extract",

@@ -95,3 +95,40 @@ def test_idempotent_rerun_skips_everything(spark, corpus_path, tmp_path):
     run_extract(spark, corpus_path, out_dir, metrics_dir, n_buckets=4, group_size=4)
     r = run_extract(spark, corpus_path, out_dir, metrics_dir, n_buckets=4, group_size=4)
     assert r["groups_run"] == 0 and r["resumed_from"] == 4
+
+
+def test_window_form_reproduces_unit_assignment(spark, corpus_path):
+    """SURVEY §2.5 W1: the state machine's unit assignment decomposes into
+    the as-of window form — for every emitted text span, its unit ref equals
+    `last(marker_ref, ignorenulls) OVER (PARTITION BY doc_id ORDER BY
+    offset)` over the unit-marker spans. The UDF form is the engine (exact
+    parity); this equivalence documents the semantics in pure Spark SQL and
+    guards the emission contract the chunkers rely on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from docling_spark.pipeline import extract
+
+    out = extract(spark.read.parquet(corpus_path))
+    ex = out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    marker_kinds = ["part", "paragraph", "odsek", "pismeno", "subitem", "annex", "footnote"]
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.last(
+        F.when(F.col("kind").isin(marker_kinds), F.col("media_ref")), ignorenulls=True
+    ).over(w)
+    mismatches = (
+        ex.withColumn("expected", asof)
+        .filter(F.col("kind") == "text")
+        .filter(~F.expr("media_ref <=> expected"))
+        .count()
+    )
+    assert mismatches == 0

@@ -49,7 +49,7 @@ def one_pass():
 
 one_pass()
 wall = None
-for _ in range(2):
+for _ in range(3):
     t0 = time.time()
     agg = one_pass()
     dt = time.time() - t0
@@ -73,15 +73,39 @@ def run_level(cores: int, corpus: str) -> dict:
     return json.loads(lines[-1])
 
 
+def run_pair(n: int, corpus: str, repeats: int = 2) -> tuple:
+    """Measure the (N, 4N) pair with INTERLEAVED repeats â€” lo, hi, lo, hi â€”
+    so a sustained noisy-neighbor window on the shared host cannot sit on
+    all passes of one level while missing the other (which would corrupt the
+    efficiency ratio in either direction). Per-level result = min wall
+    across repeats; digests must agree across every run."""
+    los, his = [], []
+    for _ in range(repeats):
+        los.append(run_level(n, corpus))
+        his.append(run_level(n * 4, corpus))
+    lo = min(los, key=lambda r: r["wall_sec"])
+    hi = min(his, key=lambda r: r["wall_sec"])
+    identical = len({r["digest"] for r in los + his}) == 1 and len(
+        {r["spans"] for r in los + his}
+    ) == 1
+    return lo, hi, identical
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=48000)
+    ap.add_argument("--docs", type=int, default=72000)
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument(
         "--write",
         action="store_true",
         help="update BENCH/BASELINE.md (without this flag the run is a probe "
         "and the canonical report is left untouched)",
+    )
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=2,
+        help="interleaved (lo, hi) pair repetitions; per-level min is reported",
     )
     ap.add_argument(
         "--secondary",
@@ -102,10 +126,8 @@ def main() -> None:
         print(f"synthesizing {args.docs}-doc corpus ...", file=sys.stderr)
         _synth.write_corpus_parquet(corpus, n_docs=args.docs, seed=42)
 
-    lo = run_level(args.n, corpus)
-    hi = run_level(args.n * 4, corpus)
+    lo, hi, identical = run_pair(args.n, corpus, repeats=args.repeats)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
-    identical = lo["digest"] == hi["digest"] and lo["spans"] == hi["spans"]
 
     summary = {
         "corpus_docs": args.docs,
@@ -127,15 +149,13 @@ def main() -> None:
 
     sec = None
     if args.secondary:
-        s_lo = run_level(args.n * 2, corpus)
-        s_hi = run_level(args.n * 8, corpus)
+        s_lo, s_hi, s_ident0 = run_pair(args.n * 2, corpus, repeats=1)
         s_eff = (s_hi["docs_per_sec"] / s_lo["docs_per_sec"]) / 4.0
-        sec = (s_lo, s_hi, s_eff)
+        sec = (s_lo, s_hi, s_eff, s_ident0)
 
     secondary_md = ""
     if sec:
-        s_lo, s_hi, s_eff = sec
-        s_ident = s_lo["digest"] == s_hi["digest"] and s_lo["spans"] == s_hi["spans"]
+        s_lo, s_hi, s_eff, s_ident = sec
         secondary_md = f"""
 ## Secondary: N={args.n * 2} vs 4N={args.n * 8} (full-machine saturation)
 
@@ -163,10 +183,12 @@ Same extraction job (sniff â†’ HTML/PDF normalize â†’ hierarchy state machine â†
 normalized spans), same {args.docs}-doc deterministic corpus (seed 42,
 heavy-tailed sizes incl. ~1.5% mega-laws), run at two local parallelism
 levels in separate JVMs â€” the sandbox substitute for N vs 4N executors.
-Measured by `tools/bench_scaling.py --write` (steady-state protocol: one
-full untimed warm-up pass per JVM â€” spawns the whole Python worker pool and
-JITs the arrow/python-runner path â€” then min over two timed passes, because
-the sandbox host shows bursty CPU-steal interference).
+Measured by `tools/bench_scaling.py --write` (steady-state protocol: per
+level, one full untimed warm-up pass per JVM â€” spawns the whole Python
+worker pool and JITs the arrow/python-runner path â€” then min over three
+timed passes; the (N, 4N) pair is additionally run as interleaved repeats
+(lo, hi, lo, hi; per-level min across JVMs) so a sustained noisy-neighbor
+window on the shared host cannot bias the efficiency ratio).
 
 ## Primary: N={args.n} vs 4N={args.n * 4}
 
