@@ -1,0 +1,99 @@
+"""Physical-plan regression guards for the scale paths.
+
+These assert the *shape* Catalyst picks, not results: the LSH/IVF/near-dup
+joins must stay bucket equi-joins (a broken join condition silently degrades
+to a cartesian product that still returns correct rows at test scale but
+explodes at 100 TB), and dimension joins must broadcast.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"word{i} common tokens here for doc {i}", "en") for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_minhash_band_pairs_is_equi_join(docs):
+    from docling_spark.ops.dedup import minhash_band_pairs
+
+    plan = _plan(minhash_band_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_embedding_neardup_is_equi_join(emb):
+    from docling_spark.ops.similarity import embedding_neardup_pairs
+
+    plan = _plan(embedding_neardup_pairs(emb, bits=4, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_ann_bucketed_join_shape(emb):
+    from docling_spark.ops.similarity import ann_bucketed_topk
+
+    plan = _plan(ann_bucketed_topk(emb, query_ids=[0], k=3, bits=4, dim=8))
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_cell_join_broadcasts_queries(emb):
+    from docling_spark.ops.similarity import ann_ivf_topk
+
+    plan = _plan(ann_ivf_topk(emb, query_ids=[0], k=3, n_cells=4, n_probe=2, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the tiny probed-query side
+
+
+def test_exact_cosine_broadcasts_query_side(emb):
+    from docling_spark.ops.similarity import cosine_topk
+
+    # brute-force path: the deliberate cross join must broadcast the tiny
+    # query side (BroadcastNestedLoopJoin), never shuffle the corpus twice
+    plan = _plan(cosine_topk(emb, query_ids=[0], k=3))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_exact_shuffles_hash_only(docs):
+    from docling_spark.ops.dedup import exact_dup_groups
+
+    plan = _plan(exact_dup_groups(docs))
+    # the exchange key is the md5 hash; the raw text column must be pruned
+    # before the shuffle (project-then-aggregate, partial+final)
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange") == 1
+
+
+def test_tpch_q5_shape_broadcasts_dims(spark):
+    import __spark_entry__ as E
+
+    df = E.q_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation/region build sides
+
+
+def test_scan_prunes_columns(spark):
+    # column pruning reaches the parquet scan: a 2-column projection must
+    # not read the full lineitem schema
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    plan = _plan(df)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "l_extendedprice" not in scan[0]
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
