@@ -151,6 +151,14 @@ def _parse_attrs(attrs_str: str) -> Dict[str, str]:
     return attrs
 
 
+# whole-tag memo for the balanced-quote fast path: a 300-doc sample shows
+# 147k tags but only ~3.5k distinct tag strings ('/div', 'div class="text"',
+# …) — one dict hit replaces head-regex + attr parse for ~98% of tags. Only
+# the clean path caches: the quoted-'>' fallback re-parses from the full
+# payload so its end offset is context-dependent.
+_SEG_CACHE: Dict[str, tuple] = {}
+
+
 def _fast_parse(payload: str) -> Optional[_Node]:
     """Scan parse; returns None when the payload needs the robust parser
     (caller falls back).
@@ -192,36 +200,47 @@ def _fast_parse(payload: str) -> Optional[_Node]:
         if seg[:1] == "!":  # doctype (comments excluded by the unsafe guard)
             pos = gt + 1
             continue
-        if ('"' in seg and seg.count('"') % 2) or ("'" in seg and seg.count("'") % 2):
-            # quoted '>' split the tag — take the slow exact regex for this tag
+        cached = _SEG_CACHE.get(seg)
+        if cached is not None:
+            is_closing, tag, attrs, opens = cached
+            end = gt + 1
+        elif ('"' in seg and seg.count('"') % 2) or ("'" in seg and seg.count("'") % 2):
+            # quoted '>' split the tag — take the slow exact regex for this
+            # tag (uncacheable: end offset depends on payload context)
             m = _FAST_TAG_RE.match(payload, lt)
             if not m:
                 return None
             closing, tag, attrs_str, self_close = m.groups()
+            tag = tag.lower()
+            is_closing = bool(closing)
+            attrs = (
+                _parse_attrs(attrs_str) if attrs_str and "=" in attrs_str else {}
+            )
+            opens = tag not in _VOID_TAGS and not self_close
             end = m.end()
         else:
             m = _TAG_HEAD_RE.match(seg)
             if not m:
                 return None  # malformed — robust parser decides
-            closing, tag = m.group(1), m.group(2)
+            tag = m.group(2).lower()
+            is_closing = bool(m.group(1))
             attrs_str = seg[m.end():]
-            self_close = seg.endswith("/")
+            attrs = (
+                _parse_attrs(attrs_str) if attrs_str and "=" in attrs_str else {}
+            )
+            opens = tag not in _VOID_TAGS and not seg.endswith("/")
+            if len(_SEG_CACHE) < 16384:
+                _SEG_CACHE[seg] = (is_closing, tag, attrs, opens)
             end = gt + 1
-        tag = tag.lower()
-        if closing:
+        if is_closing:
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
                     break
         else:
-            attrs = (
-                _parse_attrs(attrs_str)
-                if attrs_str and "=" in attrs_str
-                else {}
-            )
             node = _Node(tag, attrs)
             stack[-1].children.append(node)
-            if tag not in _VOID_TAGS and not self_close:
+            if opens:
                 stack.append(node)
         pos = end
     return root
