@@ -100,6 +100,49 @@ def assign_table_context_perdoc(spans: Sequence[Tuple[str, str, Optional[str]]])
     ]
 
 
+# --- J2: positional range join table → unit ----------------------------------
+
+
+def assign_tables_by_range(units: DataFrame, tables: DataFrame,
+                           slack: int = 5, closest: bool = True) -> DataFrame:
+    """J2 — a table belongs to a unit when its stream position falls in
+    [unit_start − slack, unit_end + slack] (the reference's strategy 1a/1b
+    ±5 body-children window, find_tables_for_unit
+    /root/reference/sequential_parser.py:1917-2105; strategy 1c is the
+    slack=0 case).
+
+    units:  (doc_id, unit_id, start_pos, end_pos)
+    tables: (doc_id, table_ref, pos)
+
+    Plan shape: equi-join on doc_id with the range as a join-time filter —
+    both sides are document-local (tiny per-doc cardinality), so the shuffle
+    key is doc_id and the range predicate never degenerates into a cross
+    product across documents. `closest=True` resolves multi-unit matches to
+    the nearest unit (distance 0 when inside; lowest unit_id tiebreak) —
+    duplicates left by closest=False are exactly what the J8 audit reports."""
+    j = tables.join(units, "doc_id").filter(
+        (F.col("pos") >= F.col("start_pos") - slack)
+        & (F.col("pos") <= F.col("end_pos") + slack)
+    )
+    if not closest:
+        return j.select("doc_id", "table_ref", "pos", "unit_id")
+    inside = (F.col("pos") >= F.col("start_pos")) & (F.col("pos") <= F.col("end_pos"))
+    dist = F.when(inside, F.lit(0)).otherwise(
+        F.least(
+            F.abs(F.col("pos") - F.col("start_pos")),
+            F.abs(F.col("pos") - F.col("end_pos")),
+        )
+    )
+    w = Window.partitionBy("doc_id", "table_ref").orderBy(
+        dist.asc(), F.col("unit_id").asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "table_ref", "pos", "unit_id")
+    )
+
+
 # --- F12: metadata vs legal table classifier --------------------------------
 
 _METADATA_PATTERNS = [

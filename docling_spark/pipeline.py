@@ -85,13 +85,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return result
 
 
-def extract(df, extra_cols: str = ""):
-    """documents(doc_id, spans[, extra]) → normalized documents, same shape.
-
-    One narrow stage; `extra_cols` (e.g. ", bucket int") are passed through
-    untouched so the checkpointed runner can keep its lineage column without
-    a join.
-    """
+def extract_pandas(df, extra_cols: str = ""):
+    """mapInPandas form of the extraction stage (kept for the arrow≡pandas
+    equivalence test; `extract` below is the production path)."""
     schema = DOC_DDL + extra_cols
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,6 +96,81 @@ def extract(df, extra_cols: str = ""):
                 yield _extract_batch(pdf)
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def _extract_record_batch(rb):
+    """One Arrow RecordBatch of documents → one normalized RecordBatch.
+
+    Bulk columnar marshaling: the span struct's child arrays convert to
+    Python lists in three vectorized calls (no per-row dict materialization
+    — the pandas path builds a dict per span, which at ~130 output spans/doc
+    dominated worker CPU), per-doc slices are zipped into the tuples the
+    state machine consumes, and the output is assembled as flat arrays +
+    list offsets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = rb.schema.names
+    la = rb.column(names.index("spans"))
+    lengths = pc.list_value_length(la).to_pylist()
+    vals = la.flatten()  # logical concatenation in row order
+    kinds = vals.field("kind").to_pylist()
+    texts = vals.field("text").to_pylist()
+    refs = vals.field("media_ref").to_pylist()
+
+    out_k: List[str] = []
+    out_t: List[str] = []
+    out_r: List[Optional[str]] = []
+    out_o: List[int] = []
+    offsets = [0]
+    lo = 0
+    for length in lengths:
+        length = length or 0
+        hi = lo + length
+        normalized = extract_document(list(zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi])))
+        lo = hi
+        for j, (k, t, r) in enumerate(normalized):
+            out_k.append(k)
+            out_t.append(t)
+            out_r.append(r)
+            out_o.append(j)
+        offsets.append(len(out_k))
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(out_k, pa.string()),
+            pa.array(out_t, pa.string()),
+            pa.array(out_r, pa.string()),
+            pa.array(out_o, pa.int32()),
+        ],
+        ["kind", "text", "media_ref", "offset"],
+    )
+    out_spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    # emit in declared-schema order: doc_id, spans, then passthrough columns
+    arrays = [rb.column(names.index("doc_id")), out_spans]
+    out_names = ["doc_id", "spans"]
+    for name in names:
+        if name not in ("doc_id", "spans"):
+            arrays.append(rb.column(names.index(name)))
+            out_names.append(name)
+    return pa.RecordBatch.from_arrays(arrays, out_names)
+
+
+def extract(df, extra_cols: str = ""):
+    """documents(doc_id, spans[, extra]) → normalized documents, same shape.
+
+    One narrow mapInArrow stage; `extra_cols` (e.g. ", bucket int") are
+    passed through untouched so the checkpointed runner can keep its lineage
+    column without a join. Arrow-native marshaling — see
+    _extract_record_batch."""
+    schema = DOC_DDL + extra_cols
+
+    def gen(batches):
+        for rb in batches:
+            if rb.num_rows:
+                yield _extract_record_batch(rb)
+
+    return df.mapInArrow(gen, schema=schema)
 
 
 def rebalance(df, num_partitions: int):

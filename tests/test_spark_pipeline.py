@@ -132,3 +132,18 @@ def test_window_form_reproduces_unit_assignment(spark, corpus_path):
         .count()
     )
     assert mismatches == 0
+
+
+def test_arrow_and_pandas_extract_forms_identical(spark, corpus_path):
+    """The production mapInArrow stage and the mapInPandas form must produce
+    byte-identical normalized tables (same marshaling contract, different
+    transport)."""
+    from pyspark.sql import functions as F
+
+    from docling_spark.pipeline import extract, extract_pandas
+
+    docs = spark.read.parquet(corpus_path)
+    a = extract(docs).select("doc_id", F.to_json("spans").alias("j"))
+    b = extract_pandas(docs).select("doc_id", F.to_json("spans").alias("jb"))
+    assert a.count() == b.count() == 60
+    assert a.join(b, "doc_id").filter("j != jb").count() == 0

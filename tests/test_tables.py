@@ -81,3 +81,48 @@ def test_audit(spark, normalized):
     assert all(r["n_tables"] == r["n_assigned"] + r["n_unassigned"] for r in rows)
     # the as-of join assigns every table (context may be null, ref is known)
     assert all(r["n_unassigned"] == 0 for r in rows)
+
+
+def test_assign_tables_by_range(spark):
+    """J2: ±slack window assignment with closest-unit resolution."""
+    from docling_spark.operators.tables import assign_tables_by_range
+
+    units = spark.createDataFrame(
+        [
+            ("d1", "u1", 0, 10),
+            ("d1", "u2", 20, 30),
+            ("d2", "u1", 0, 100),
+        ],
+        "doc_id string, unit_id string, start_pos int, end_pos int",
+    )
+    tables = spark.createDataFrame(
+        [
+            ("d1", "t_inside", 5),    # inside u1
+            ("d1", "t_slack", 13),    # within u1+5 only
+            ("d1", "t_between", 16),  # within u1+5? 16>15 no; u2-5=15 → u2
+            ("d1", "t_far", 50),      # matches nothing
+            ("d2", "t_other", 40),    # inside d2/u1 — doc isolation
+        ],
+        "doc_id string, table_ref string, pos int",
+    )
+    got = {
+        (r["doc_id"], r["table_ref"]): r["unit_id"]
+        for r in assign_tables_by_range(units, tables, slack=5).collect()
+    }
+    assert got == {
+        ("d1", "t_inside"): "u1",
+        ("d1", "t_slack"): "u1",
+        ("d1", "t_between"): "u2",
+        ("d2", "t_other"): "u1",
+    }
+
+    # closest=False keeps multi-matches (pos 28 is inside u2 only; pos 25±5
+    # overlaps u2 only as well — craft an overlap: slack 20 makes t_inside
+    # match both units; the duplicate is exactly what the J8 audit flags)
+    multi = assign_tables_by_range(units, tables, slack=20, closest=False)
+    n_matches = multi.filter("doc_id = 'd1' AND table_ref = 't_inside'").count()
+    assert n_matches == 2
+    # and closest resolves it deterministically to the containing unit
+    res = assign_tables_by_range(units, tables, slack=20, closest=True)
+    row = res.filter("doc_id = 'd1' AND table_ref = 't_inside'").collect()
+    assert len(row) == 1 and row[0]["unit_id"] == "u1"
