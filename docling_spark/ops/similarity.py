@@ -86,27 +86,37 @@ def _centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _cell_expr(cents: np.ndarray, vec: str = "v") -> F.Column:
-    """argmax-by-dot cell assignment as a pure column expression (JVM-side):
-    fold over centroid literals keeping (best_dot, best_cell)."""
-    best_dot = F.lit(float("-inf"))
-    best_cell = F.lit(-1)
-    for i, c in enumerate(cents):
-        lit = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
-        d = _dot(vec, lit)
-        better = d > best_dot
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_dot = F.when(better, d).otherwise(best_dot)
-    return best_cell.cast("long")
+def _centroid_df(spark, cents: np.ndarray) -> DataFrame:
+    """Centroids as a tiny broadcastable DataFrame (cell, c) — data, not
+    code: inlining them as column-expression literals blows the whole-stage
+    codegen source past 2 MB and costs seconds of JIT compile per query."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    return spark.createDataFrame(rows, "cell long, c array<double>")
+
+
+def _assign_cells(emb: DataFrame, n_cells: int, dim: int, seed: int,
+                  id_col: str, vec_col: str, top_n: int = 1) -> DataFrame:
+    """(vec_id, v, cell[, rn]) — rank centroids per vector by dot product
+    (desc, cell asc tie-break) via a broadcast cross join of the tiny
+    centroid table; rn ≤ top_n kept."""
+    cents = _centroid_df(emb.sparkSession, _centroids(n_cells, dim, seed))
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    scored = base.crossJoin(F.broadcast(cents)).withColumn("d", _dot("v", "c"))
+    w = Window.partitionBy(id_col).orderBy(F.col("d").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(F.col(id_col), "v", "cell", "rn")
+    )
 
 
 def ivf_assign(emb: DataFrame, n_cells: int = 8, dim: int = 64, seed: int = 11,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(vec_id, cell) — IVF coarse-quantizer assignment (nearest centroid by
     dot product; unit-norm centroids ⇒ nearest-by-cosine up to vector norm)."""
-    cents = _centroids(n_cells, dim, seed)
-    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    return base.select(F.col(id_col), _cell_expr(cents).alias("cell"))
+    return _assign_cells(emb, n_cells, dim, seed, id_col, vec_col, top_n=1).select(
+        F.col(id_col), F.col("cell")
+    )
 
 
 def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
@@ -117,33 +127,16 @@ def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
     candidates exactly. At scale the cell equi-join replaces the cross
     product (candidates ≈ n_probe/n_cells of the corpus), and the inverted
     lists are exactly a partitioning/bucketing key for the corpus table."""
-    cents = _centroids(n_cells, dim, seed)
-    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    corpus = base.select(F.col(id_col), "v", _cell_expr(cents).alias("cell"))
-
-    # per-query probe list: top n_probe centroids by dot product
-    q = base.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+    corpus = _assign_cells(emb, n_cells, dim, seed, id_col, vec_col, top_n=1).select(
+        F.col(id_col), "v", "cell"
     )
-    probe_structs = []
-    for i, c in enumerate(cents):
-        lit = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
-        # negcell makes reverse(sort asc) == (dot desc, cell asc) — the same
-        # tie-break as the oracle's ORDER BY dot DESC, cell ASC
-        probe_structs.append(
-            F.struct(
-                _dot("q", lit).alias("d"),
-                F.lit(-i).alias("negcell"),
-                F.lit(i).cast("long").alias("cell"),
-            )
+    q_probed = (
+        _assign_cells(
+            emb.filter(F.col(id_col).isin(list(query_ids))),
+            n_cells, dim, seed, id_col, vec_col, top_n=n_probe,
         )
-    probes = F.slice(
-        F.reverse(F.array_sort(F.array(*probe_structs))), 1, n_probe
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("q"), "cell")
     )
-    q_probed = q.select(
-        "query_id", "q", F.explode(probes).alias("p")
-    ).select("query_id", "q", F.col("p.cell").alias("cell"))
-
     joined = corpus.join(
         F.broadcast(q_probed), corpus["cell"] == q_probed["cell"]
     ).filter(F.col(id_col) != F.col("query_id"))

@@ -3,8 +3,11 @@
 Spark plan
 ----------
 Every stage (sniff → HTML/PDF normalize → hierarchy state machine) is
-document-local, so the whole pipeline compiles to **one narrow mapInPandas
-stage over the scan: zero shuffles**. At 100 TB that means:
+document-local, so the whole pipeline compiles to **one narrow mapInArrow
+stage over the scan: zero shuffles** (per the input_hint contract:
+vectorized pandas/Arrow UDFs only — Arrow-native marshaling is the faster
+half of that contract; the mapInPandas form is kept equivalence-tested).
+At 100 TB that means:
 
 - parallelism = input splits (`spark.sql.files.maxPartitionBytes`), no
   exchange, no skewed reducer;

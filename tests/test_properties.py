@@ -127,3 +127,53 @@ def test_extraction_never_emits_raw_kinds():
     for doc_id, spans in synth_corpus(30, seed=11):
         for kind, _, _ in extract_document(spans):
             assert kind not in raw_only
+
+
+def test_hybrid_chunker_budget_invariant_property():
+    """Property: for random documents and budgets, every emitted chunk
+    respects max_tokens (the single sanctioned overflow is a lone word whose
+    own token count exceeds the whole budget), text survives in order, and
+    chunk_no is dense."""
+    from hypothesis import given, settings, strategies as st
+
+    from docling_spark.operators.hybrid_chunker import (
+        count_tokens,
+        hybrid_chunk_document,
+    )
+
+    words = st.text(alphabet="abcdefgh", min_size=1, max_size=12)
+
+    @st.composite
+    def spans(draw):
+        out = [("title", "Zákon", None)]
+        n_para = draw(st.integers(1, 3))
+        for p in range(1, n_para + 1):
+            out.append(("paragraph", f"§ {p}", f"#paragraf-{p}"))
+            for o in range(1, draw(st.integers(1, 3)) + 1):
+                out.append(("odsek", f"({o})", f"#paragraf-{p}.odsek-{o}"))
+                body = " ".join(draw(st.lists(words, min_size=1, max_size=60)))
+                out.append(("text", body, f"#paragraf-{p}.odsek-{o}"))
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(spans=spans(), max_tokens=st.integers(4, 96))
+    def run(spans, max_tokens):
+        chunks = hybrid_chunk_document("d", spans, max_tokens=max_tokens)
+        assert [c[1] for c in chunks] == list(range(len(chunks)))
+        for _d, _no, _cid, content, headings, n_tokens, _nu in chunks:
+            if n_tokens > max_tokens:
+                # sanctioned only when a single word alone busts the budget
+                header = sum(count_tokens(h) for h in headings)
+                words_ = content.split()
+                assert len(words_) == 1 or header >= max_tokens or any(
+                    count_tokens(w) > max_tokens - header for w in words_
+                ), (content, headings, n_tokens, max_tokens)
+        # order-preserving text survival
+        src = " ".join(t for k, t, _ in spans if k == "text")
+        got = " ".join(
+            w for c in chunks for w in c[3].split() if not w.startswith(("§", "("))
+        )
+        for w in src.split():
+            assert w in got
+
+    run()
