@@ -120,10 +120,14 @@ def detect_subitem_marker(text: str) -> Optional[str]:
 
 
 def detect_law_end_marker(text: str) -> bool:
-    normalized = text.strip().lower()
-    if "tento zákon nadobúda účinnosť" in normalized:
-        return True
-    return normalized.endswith("v. r.") or normalized == "v. r."
+    # O(1)-ish guard: the effectiveness phrase always contains 'činnos' in
+    # some case, and the signature suffix fits in the last 6 chars — full
+    # lowercase of every span (the old path) dominated the battery's cost
+    if "činnos" in text or "ČINNOS" in text or "Činnos" in text:
+        if "tento zákon nadobúda účinnosť" in text.strip().lower():
+            return True
+    tail = text.rstrip()[-6:].lower()
+    return tail.endswith("v. r.") or text.strip().lower() == "v. r."
 
 
 # --- F7: annex marker with exclusions (366-419) ------------------------------

@@ -102,7 +102,10 @@ def join_tokens(tokens: List[Optional[str]]) -> str:
             out += tok
         else:
             out += " " + tok
-    out = out.replace("120 )", "120)").replace("č. 1 .", "č. 1.")
+    if "120 )" in out:
+        out = out.replace("120 )", "120)")
+    if "č. 1 ." in out:
+        out = out.replace("č. 1 .", "č. 1.")
     return _FIX_SPACE_PUNCT_RE.sub(r"\1", out)
 
 
