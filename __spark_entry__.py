@@ -39,7 +39,15 @@ from docling_spark.ops.similarity import (
     ivf_assign,
     srp_signature,
 )
-from docling_spark.ops.textstats import LANG_CUES, fingerprint, lang_id, quality_score, token_count
+from docling_spark.ops.textstats import (
+    LANG_CUES,
+    curation_pipeline,
+    fingerprint,
+    lang_id,
+    pii_scrub,
+    quality_score,
+    token_count,
+)
 
 _SF_DEFAULT = "/root/testdata/sf0.001"
 _SHIPPED: set = set()
@@ -306,6 +314,14 @@ def q_quality_score(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def q_curation_pipeline(spark, sf_dir):
+    return curation_pipeline(_t(spark, sf_dir, "documents"), min_quality=0.5, lang="en")
 
 
 def q_minhash_signature(spark, sf_dir):
@@ -697,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "pii_scrub": q_pii_scrub,
+        "curation_pipeline": q_curation_pipeline,
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1117,6 +1135,45 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "lang_id": _duck_lang_id_sql(),
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                     '\+?[0-9][0-9 \-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\+?[0-9][0-9 \-]{7,}[0-9]')) AS BIGINT) AS n_phones
+            FROM documents
+        """,
+        "curation_pipeline": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_computed,
+                     len({toks}) AS n_tokens,
+                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                     len(regexp_extract_all(text, '\\b({cue_all})\\b')) AS n_stop
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     round(
+                       least(CAST(n_chars_computed AS DOUBLE) / 500.0, 1.0) * 0.4
+                       + least(round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) * 5.0, 1.0) * 0.4
+                       + (1.0 - least(round(CAST(n_punct AS DOUBLE) / greatest(n_chars_computed, 1), 6) * 20.0, 1.0)) * 0.2,
+                       6) AS quality
+              FROM s
+            ), lng AS ({_duck_lang_id_sql()}),
+            d AS (
+              SELECT doc_id, md5(text) AS text_hash,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS dup_rank
+              FROM documents
+            )
+            SELECT d.doc_id, d.text_hash,
+                   CAST(floor(q.quality * 1000000) AS BIGINT) AS quality_e6
+            FROM d JOIN q USING (doc_id) JOIN lng USING (doc_id)
+            WHERE d.dup_rank = 1 AND lng.lang_guess = 'en' AND q.quality >= 0.5
+        """,
         "minhash_signature": _duck_minhash_sig_sql(),
         "minhash_band_pairs": _duck_minhash_pairs_sql(),
         "ngram_jaccard": f"""

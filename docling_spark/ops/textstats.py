@@ -84,6 +84,58 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, scrubbed, n_emails, n_phones) — redact emails and long digit
+    runs (the standard pre-training scrub), counting what was removed.
+    Pure regexp_replace/regexp_extract_all — codegen, narrow."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"\+?[0-9][0-9 \-]{7,}[0-9]"
+    # SQL string literals eat one backslash level inside F.expr
+    email_sql = email.replace("\\", "\\\\")
+    phone_sql = phone.replace("\\", "\\\\")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{email_sql}', 0)")).cast("long").alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{phone_sql}', 0)")).cast("long").alias("n_phones"),
+    )
+
+
+def curation_pipeline(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", min_quality: float = 0.5,
+                      lang: str = "en") -> DataFrame:
+    """The composed training-data curation pass: quality gate + language
+    filter + exact-dedup keep-first (lowest doc_id per identical text).
+
+    One narrow scan feeds all three signals; the only exchange is the dedup
+    hash shuffle — at 100 TB this is the same single-shuffle shape as
+    exact_dup_groups (hash + id, never the text twice)."""
+    from pyspark.sql.window import Window
+
+    q = quality_score(docs, id_col, text_col).select(id_col, "quality")
+    l = lang_id(docs, id_col, text_col).select(id_col, "lang_guess")
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .join(q, id_col)
+        .join(l, id_col)
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (F.col("lang_guess") == lang)
+            & (F.col("quality") >= min_quality)
+        )
+        .select(
+            F.col(id_col),
+            "text_hash",
+            F.floor(F.col("quality") * 1_000_000).cast("long").alias("quality_e6"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) — order-sensitive rolling hash over token hashes
     (portable across engines; see ops.portable)."""

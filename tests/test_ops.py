@@ -143,6 +143,32 @@ def test_textstats(docs):
     assert 0.0 <= min(qs.values()) and max(qs.values()) <= 1.0
 
 
+def test_pii_scrub(spark):
+    from docling_spark.ops.textstats import pii_scrub
+
+    rows = [
+        (1, "contact me at john.doe@example.com or +421 905 123 456 thanks"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert "<EMAIL>" in got[1]["scrubbed"] and "<PHONE>" in got[1]["scrubbed"]
+    assert "example.com" not in got[1]["scrubbed"]
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[2]["scrubbed"] == "no pii here at all"
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+
+
+def test_curation_pipeline(docs):
+    from docling_spark.ops.textstats import curation_pipeline
+
+    out = curation_pipeline(docs, min_quality=0.0, lang="en").collect()
+    kept = {r["doc_id"] for r in out}
+    assert 1 in kept and 2 not in kept  # exact dup: keep lowest doc_id
+    assert 4 not in kept                # German doc filtered by lang
+    assert all(r["quality_e6"] >= 0 for r in out)
+
+
 def test_multimodal_plumbing(spark):
     from docling_spark.ops.multimodal import (
         frame_sample,
