@@ -33,6 +33,13 @@ def salt_by_weight(df: DataFrame, num_partitions: int) -> DataFrame:
 
     salt = row_number over weight-desc % num_partitions (LPT deal), then
     repartition on the salt so co-salted docs land together.
+
+    Scale note: the LPT deal needs a global weight sort — exact and worth it
+    up to work lists of ~10^8 rows, but at the 10^12-doc design point use
+    hash redistribution instead (`pipeline.rebalance`): mega-docs are rare
+    and a uniform hash bounds expected partition imbalance at
+    mean + O(√mean) without any global ordering; the Arrow batch cap already
+    bounds the worst single-doc stall.
     """
     w = Window.orderBy(F.col("weight").desc(), F.col("doc_id"))
     salted = (
