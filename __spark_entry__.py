@@ -212,6 +212,29 @@ def q_reading_order(spark, sf_dir):
     )
 
 
+def q_signup_funnel(spark, sf_dir):
+    # sessionization/funnel via the spark.sql textual surface (the engine's
+    # SQL front door): signup → first subsequent purchase latency per user
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql("""
+        WITH s AS (
+          SELECT user_id, min(ts) AS signup_ts
+          FROM events_v WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS first_purchase_ts
+          FROM events_v e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+          GROUP BY e.user_id
+        )
+        SELECT s.user_id,
+               CAST(unix_seconds(CAST(p.first_purchase_ts AS TIMESTAMP))
+                    - unix_seconds(CAST(s.signup_ts AS TIMESTAMP))
+                    AS BIGINT) AS seconds_to_purchase
+        FROM s JOIN p ON s.user_id = p.user_id
+    """)
+
+
 def q_lookbehind_flags(spark, sf_dir):
     # W3/F11: 3-row lookbehind context (reference disambiguation pattern)
     ev = _t(spark, sf_dir, "events")
@@ -703,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bands": q_range_join_bands,
         "reading_order": q_reading_order,
         "lookbehind_flags": q_lookbehind_flags,
+        "signup_funnel": q_signup_funnel,
         "text_accumulate": q_text_accumulate,
         "level_counters": q_level_counters,
         "running_offset": q_running_offset,
@@ -1077,6 +1101,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "level_counters": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "signup_funnel": """
+            WITH s AS (
+              SELECT user_id, min(ts) AS signup_ts
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS first_purchase_ts
+              FROM events e JOIN s ON e.user_id = s.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+              GROUP BY e.user_id
+            )
+            SELECT s.user_id,
+                   CAST(date_diff('second', s.signup_ts, p.first_purchase_ts)
+                        AS BIGINT) AS seconds_to_purchase
+            FROM s JOIN p ON s.user_id = p.user_id
+        """,
         "running_offset": """
             SELECT doc_id, lang,
                    CAST(coalesce(sum(n_chars + 1) OVER (PARTITION BY lang ORDER BY doc_id ASC
