@@ -212,6 +212,23 @@ def q_reading_order(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    # semi-structured path (the docling-JSON scan's S3 mechanism on a flat
+    # column): from_json with explicit schema — no inference — then a
+    # native rollup on the extracted field
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count(F.col("k")).cast("long").alias("n_with_k"),
+        )
+    )
+
+
 def q_signup_funnel(spark, sf_dir):
     # sessionization/funnel via the spark.sql textual surface (the engine's
     # SQL front door): signup → first subsequent purchase latency per user
@@ -727,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order": q_reading_order,
         "lookbehind_flags": q_lookbehind_flags,
         "signup_funnel": q_signup_funnel,
+        "json_props": q_json_props,
         "text_accumulate": q_text_accumulate,
         "level_counters": q_level_counters,
         "running_offset": q_running_offset,
@@ -1101,6 +1119,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "level_counters": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k,
+                   CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k
+            FROM events GROUP BY event_type
+        """,
         "signup_funnel": """
             WITH s AS (
               SELECT user_id, min(ts) AS signup_ts
