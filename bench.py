@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "minhash_verified_pairs",
     "reference_extract",
     "source_pivot",
+    "pii_scrub",
+    "curation_pipeline",
+    "signup_funnel",
+    "json_props",
     "chunk_split",
 ]
 
