@@ -119,9 +119,6 @@ def dict_groupby(pairs: List[Tuple[int, str]]) -> Dict[int, List[str]]:
 # identical over the corpus in tests/test_extract_units.py.
 # ---------------------------------------------------------------------------
 
-_FAST_TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>"
-)
 _ATTR_RE = re.compile(
     r"([a-zA-Z][a-zA-Z0-9_-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
 )
@@ -205,19 +202,12 @@ def _fast_parse(payload: str) -> Optional[_Node]:
             is_closing, tag, attrs, opens = cached
             end = gt + 1
         elif ('"' in seg and seg.count('"') % 2) or ("'" in seg and seg.count("'") % 2):
-            # quoted '>' split the tag — take the slow exact regex for this
-            # tag (uncacheable: end offset depends on payload context)
-            m = _FAST_TAG_RE.match(payload, lt)
-            if not m:
-                return None
-            closing, tag, attrs_str, self_close = m.groups()
-            tag = tag.lower()
-            is_closing = bool(closing)
-            attrs = (
-                _parse_attrs(attrs_str) if attrs_str and "=" in attrs_str else {}
-            )
-            opens = tag not in _VOID_TAGS and not self_close
-            end = m.end()
+            # a quote opened inside this tag closes beyond the first '>' —
+            # either a legitimate quoted '>' in an attribute (rare) or
+            # unterminated-quote garbage. Regex and html.parser tokenize the
+            # garbage case differently, so the safe move is to defer the
+            # whole payload to the robust parser (the equivalence arbiter).
+            return None
         else:
             m = _TAG_HEAD_RE.match(seg)
             if not m:
@@ -272,6 +262,7 @@ def extract_html_spans(html: str) -> List[Span]:
     if root is None:
         builder = _TreeBuilder()
         builder.feed(html)
+        builder.close()  # flush buffered trailing data (e.g. a bare '&')
         root = builder.root
     return _extract_from_root(root)
 
@@ -281,6 +272,7 @@ def extract_html_spans_robust(html: str) -> List[Span]:
     this; production uses extract_html_spans which picks automatically)."""
     builder = _TreeBuilder()
     builder.feed(html)
+    builder.close()  # flush buffered trailing data (e.g. a bare '&')
     return _extract_from_root(builder.root)
 
 

@@ -177,3 +177,59 @@ def test_hybrid_chunker_budget_invariant_property():
             assert w in got
 
     run()
+
+
+def test_fast_parser_equivalence_fuzzed():
+    """Differential fuzz: on arbitrary tag soup (quotes, '>', entities,
+    nesting, truncation), the fast tokenizer must either defer (None) or
+    produce the exact span stream of the stdlib parser."""
+    from hypothesis import given, settings, strategies as st
+
+    from docling_spark.operators.html_extract import (
+        extract_html_spans,
+        extract_html_spans_robust,
+    )
+
+    tags = st.sampled_from(["div", "a", "span", "sup", "img", "title", "b"])
+    klass = st.sampled_from(
+        ["text", "odsek", "pismenoOznacenie", "nadpis", "menu", "x y", ""]
+    )
+    attr_val = st.text(
+        alphabet="abc >/'\"&=#-", min_size=0, max_size=12
+    )
+    text_piece = st.text(
+        alphabet="aá bč.(1)&amp;<>§ ", min_size=0, max_size=20
+    )
+
+    @st.composite
+    def soup(draw):
+        parts = []
+        for _ in range(draw(st.integers(0, 12))):
+            kind = draw(st.integers(0, 4))
+            if kind == 0:
+                t = draw(tags)
+                c = draw(klass)
+                v = draw(attr_val).replace('"', "")  # keep quotes balanced here
+                parts.append(f'<{t} class="{c}" href="{v}">')
+            elif kind == 1:
+                parts.append(f"</{draw(tags)}>")
+            elif kind == 2:
+                parts.append(draw(text_piece))
+            elif kind == 3:
+                # attribute value with a quoted '>' — the odd-quote fallback path
+                parts.append(f'<a title="x{draw(st.sampled_from([">", ">>", "a>b"]))}y">')
+            else:
+                parts.append(draw(st.sampled_from([
+                    "<", ">", "<x", "< div>", "<a b='unterminated>",
+                    "<!DOCTYPE html>", "<br/>", "&nbsp;",
+                ])))
+        return "".join(parts)
+
+    @settings(max_examples=400, deadline=None)
+    @given(payload=soup())
+    def run(payload):
+        fast = extract_html_spans(payload)       # auto path (fast or fallback)
+        robust = extract_html_spans_robust(payload)
+        assert fast == robust, payload
+
+    run()
