@@ -71,10 +71,22 @@ def extract_document(raw_spans) -> List[Span]:
     return reconstruct(spans)
 
 
+def extract_document_safe(raw_spans) -> List[Span]:
+    """Per-document fault isolation: at 10^12 docs one malformed document
+    must not fail its whole task/partition — it emits a single `error` span
+    (kind in the closed set, surfaced by the kind-histogram metrics and
+    trivially filterable downstream) and the batch continues. The bucket
+    lineage keeps the doc re-processable after a fix."""
+    try:
+        return extract_document(raw_spans)
+    except Exception as exc:  # noqa: BLE001 — the isolation boundary
+        return [("error", f"{type(exc).__name__}: {exc}"[:500], None)]
+
+
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out_spans = []
     for raw in pdf["spans"]:
-        normalized = extract_document(raw)
+        normalized = extract_document_safe(raw)
         out_spans.append(
             [
                 {"kind": k, "text": t, "media_ref": r, "offset": i}
@@ -130,7 +142,7 @@ def _extract_record_batch(rb):
     for length in lengths:
         length = length or 0
         hi = lo + length
-        normalized = extract_document(list(zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi])))
+        normalized = extract_document_safe(list(zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi])))
         lo = hi
         for j, (k, t, r) in enumerate(normalized):
             out_k.append(k)

@@ -74,6 +74,8 @@ NORMALIZED_KINDS = {
     "list_item",
     "caption",         # figure/table caption (F16: skipped in unit text,
                        #   kept as standalone span — common.py:391-394)
+    "error",           # per-doc fault isolation: extraction raised; the doc
+                       #   emits one error span instead of failing the task
 }
 
 # ---------------------------------------------------------------------------

@@ -147,3 +147,77 @@ def test_arrow_and_pandas_extract_forms_identical(spark, corpus_path):
     b = extract_pandas(docs).select("doc_id", F.to_json("spans").alias("jb"))
     assert a.count() == b.count() == 60
     assert a.join(b, "doc_id").filter("j != jb").count() == 0
+
+
+def test_error_isolation_one_poisoned_doc(spark, monkeypatch):
+    """A document whose extraction raises must emit one `error` span while
+    every other document in the batch extracts normally."""
+    import docling_spark.pipeline as P
+    from docling_spark.pipeline import _extract_record_batch
+
+    import pyarrow as pa
+
+    real = P.extract_document
+
+    def boom(spans):
+        if spans and spans[0][1] == "POISON":
+            raise ValueError("synthetic failure")
+        return real(spans)
+
+    monkeypatch.setattr(P, "extract_document", boom)
+
+    span_t = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+    )
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(["good", "bad", "good2"]),
+            pa.array(
+                [
+                    [{"kind": "text", "text": "§ 1", "media_ref": "#paragraf-1", "offset": 0}],
+                    [{"kind": "text", "text": "POISON", "media_ref": None, "offset": 0}],
+                    [{"kind": "text", "text": "§ 2", "media_ref": "#paragraf-2", "offset": 0}],
+                ],
+                span_t,
+            ),
+        ],
+        ["doc_id", "spans"],
+    )
+    out = _extract_record_batch(rb).to_pylist()
+    by_id = {r["doc_id"]: r["spans"] for r in out}
+    assert by_id["bad"][0]["kind"] == "error"
+    assert "ValueError" in by_id["bad"][0]["text"]
+    assert by_id["good"][0]["kind"] == "paragraph"
+    assert by_id["good2"][0]["kind"] == "paragraph"
+
+
+def test_reconstruct_never_raises_fuzz():
+    """Robustness fuzz: arbitrary span streams must not crash the state
+    machine, and outputs stay inside the closed kind set."""
+    from hypothesis import given, settings, strategies as st
+
+    from docling_spark.operators.hierarchy import reconstruct
+    from docling_spark.schema import NORMALIZED_KINDS
+
+    kinds = st.sampled_from(
+        ["text", "section_header", "table_cell", "media", "title", "caption",
+         "list_item", "page_footer", "pdf_cell", "html_bytes", "weird"]
+    )
+    texts = st.text(alphabet="a)(.1§ č/c0:ú\xa0\n", min_size=0, max_size=25)
+    refs = st.one_of(
+        st.none(),
+        st.sampled_from(["#paragraf-1", "#poznamky", "p=1;l=2;t=3", "junk"]),
+    )
+    stream = st.lists(st.tuples(kinds, texts, refs), min_size=0, max_size=30)
+
+    @settings(max_examples=200, deadline=None)
+    @given(spans=stream)
+    def run(spans):
+        out = reconstruct(list(spans))
+        for k, t, r in out:
+            assert k in NORMALIZED_KINDS, (k, t)
+
+    run()
