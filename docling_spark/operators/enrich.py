@@ -82,7 +82,6 @@ def enrich_document(spans: List[Span]) -> List[Span]:
                 if intro:
                     out.append(("text", intro, oref))
                 for letter, body in items:
-                    pref = f"{oref[:]}.pismeno-{letter}".replace("#", "#", 1)
                     pref = f"#{base}.odsek-1.pismeno-{letter}"
                     out.append(("pismeno", f"{letter})", pref))
                     if body:

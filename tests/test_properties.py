@@ -233,3 +233,34 @@ def test_fast_parser_equivalence_fuzzed():
         assert fast == robust, payload
 
     run()
+
+
+def test_pdf_normalize_never_raises_fuzz():
+    """Robustness fuzz for the PDF path: arbitrary decoded/encoded cell
+    streams with junk geometry must not crash, and outputs stay in the
+    closed kind set."""
+    from hypothesis import given, settings, strategies as st
+
+    from docling_spark.operators.pdf_extract import normalize_pdf_spans
+    from docling_spark.schema import NORMALIZED_KINDS
+
+    kinds = st.sampled_from(["pdf_cell", "text", "section_header", "media", "list_item"])
+    texts = st.text(
+        alphabet="0123456789-. Odpisová skupina Príloha č/cPoznámky k zákonu a",
+        min_size=0, max_size=30,
+    )
+    refs = st.one_of(
+        st.none(),
+        st.sampled_from(["p=1;l=10;t=100", "p=2;l=0;t=0", "p=1;l=-5;t=1e9",
+                         "junk", "img://x.png"]),
+    )
+    stream = st.lists(st.tuples(kinds, texts, refs), min_size=0, max_size=25)
+
+    @settings(max_examples=200, deadline=None)
+    @given(spans=stream)
+    def run(spans):
+        out = normalize_pdf_spans(list(spans))
+        for k, t, r in out:
+            assert k in NORMALIZED_KINDS, (k, t)
+
+    run()
