@@ -54,7 +54,9 @@ def _law_flats(n):
 
     flats = []
     for doc_id, spans in synth_corpus(n * 3, seed=42):
-        if not doc_id.startswith("law-"):
+        # HTML laws AND pre-parsed docling streams (annex/PDF docs have their
+        # own differential: tests/test_reference_pdf_differential.py)
+        if not (doc_id.startswith("law-") or doc_id.startswith("stream-")):
             continue
         flat = []
         for s in spans:
