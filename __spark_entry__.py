@@ -372,6 +372,14 @@ def q_minhash_band_pairs(spark, sf_dir):
     return minhash_band_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_minhash_candidate_ratio(spark, sf_dir):
+    # LSH selectivity health metric: candidate pairs vs all pairs — the
+    # number that decides whether the verify join survives a 100× scale-up
+    from docling_spark.ops.dedup import minhash_candidate_stats
+
+    return minhash_candidate_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # blocked self-join; exact integer outputs (intersection / union sizes)
     docs = _t(spark, sf_dir, "documents")
@@ -716,7 +724,14 @@ def x_law_chunks(spark, sf_dir):
 
     _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(sf_dir))
-    return chunk_sink(extract(docs), level="odsek")
+    out = chunk_sink(extract(docs), level="odsek")
+    # flatten the array column: the driver canonicalizer sorts/hashes scalar
+    # columns only (lists are unhashable in its pandas sort)
+    return out.select(
+        "doc_id", "chunk_id", "level", "content",
+        F.array_join("headings", "|").alias("headings"),
+        F.col("content_length").cast("long").alias("content_length"),
+    )
 
 
 def x_hybrid_chunks(spark, sf_dir):
@@ -726,7 +741,15 @@ def x_hybrid_chunks(spark, sf_dir):
 
     _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(sf_dir))
-    return hybrid_chunk_sink(extract(docs), max_tokens=64)
+    out = hybrid_chunk_sink(extract(docs), max_tokens=64)
+    return out.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        "chunk_id", "content",
+        F.array_join("headings", "|").alias("headings"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_source_units").cast("long").alias("n_source_units"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -759,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
+        "minhash_candidate_ratio": q_minhash_candidate_ratio,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -812,28 +836,81 @@ def _duck_lang_id_sql() -> str:
 
 
 def _duck_minhash_sig_sql() -> str:
-    th = P.token_hashes_duck("text")
+    from docling_spark.ops.dedup import MINHASH_N_HASHES as NH, MINHASH_SHINGLE_N as SN
+
+    th = P.shingle_hashes_duck("text", SN)
     cols = ", ".join(
-        f"CAST({P.minhash_duck('th', i)} AS BIGINT) AS mh_{i}" for i in range(16)
+        f"CAST({P.minhash_duck('th', i)} AS BIGINT) AS mh_{i}" for i in range(NH)
     )
     return f"WITH t AS (SELECT doc_id, {th} AS th FROM documents) SELECT doc_id, {cols} FROM t"
 
 
-def _duck_minhash_pairs_sql() -> str:
-    th = P.token_hashes_duck("text")
-    cols = ", ".join(f"{P.minhash_duck('th', i)} AS mh_{i}" for i in range(16))
+def _duck_minhash_keyed_cte() -> tuple[str, str]:
+    """CTE chain computing per-doc LSH band keys (shared geometry with
+    ops.dedup) + the band-collision match predicate."""
+    from docling_spark.ops.dedup import (
+        MINHASH_BAND_SIZE as R,
+        MINHASH_N_HASHES as NH,
+        MINHASH_SHINGLE_N as SN,
+    )
+
+    n_bands = NH // R
+    th = P.shingle_hashes_duck("text", SN)
+    cols = ", ".join(f"{P.minhash_duck('th', i)} AS mh_{i}" for i in range(NH))
     band_keys = []
-    for b in range(4):
-        key = " || ':' || ".join(f"mh_{b * 4 + j}" for j in range(4))
+    for b in range(n_bands):
+        key = " || ':' || ".join(f"mh_{b * R + j}" for j in range(R))
         band_keys.append(f"({key})")
-    match = " OR ".join(f"a.bk{b} = b.bk{b}" for b in range(4))
-    bks = ", ".join(f"{band_keys[b]} AS bk{b}" for b in range(4))
-    return f"""
-        WITH t AS (SELECT doc_id, {th} AS th FROM documents),
+    match = " OR ".join(f"a.bk{b} = b.bk{b}" for b in range(n_bands))
+    bks = ", ".join(f"{band_keys[b]} AS bk{b}" for b in range(n_bands))
+    cte = f"""
+        t AS (SELECT doc_id, {th} AS th FROM documents
+              WHERE len({P.ngrams_duck('text', SN)}) > 0),
         sig AS (SELECT doc_id, {cols} FROM t),
-        keyed AS (SELECT doc_id, {bks} FROM sig)
+        keyed AS (SELECT doc_id, {bks} FROM sig)"""
+    return cte, match
+
+
+def _duck_minhash_pairs_sql() -> str:
+    cte, match = _duck_minhash_keyed_cte()
+    return f"""
+        WITH {cte}
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id AND ({match})
+    """
+
+
+def _duck_minhash_ratio_sql() -> str:
+    cte, match = _duck_minhash_keyed_cte()
+    return f"""
+        WITH {cte},
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id AND ({match})),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        c AS (SELECT count(*) AS n_candidate_pairs FROM cand)
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+               CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS possible_pairs,
+               CAST(floor(n_candidate_pairs * 1000000.0
+                          / (n_docs * (n_docs - 1) / 2.0)) AS BIGINT)
+               AS candidate_ratio_e6
+        FROM n, c
+    """
+
+
+def _duck_minhash_verified_sql() -> str:
+    cte, match = _duck_minhash_keyed_cte()
+    return f"""
+        WITH {cte},
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id AND ({match})),
+        sh AS (SELECT doc_id, {P.ngrams_duck('text', 3)} AS sh FROM documents)
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_size
+        FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+        WHERE len(list_intersect(a.sh, b.sh)) * 5
+              >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
     """
 
 
@@ -1201,16 +1278,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _duck_lang_id_sql(),
         "pii_scrub": r"""
-            SELECT doc_id,
-                   regexp_replace(
+            WITH e AS (
+              SELECT doc_id, text,
                      regexp_replace(text,
-                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g') AS email_scrubbed
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(email_scrubbed,
                      '\+?[0-9][0-9 \-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
                    CAST(len(regexp_extract_all(text,
                         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(email_scrubbed,
                         '\+?[0-9][0-9 \-]{7,}[0-9]')) AS BIGINT) AS n_phones
-            FROM documents
+            FROM e
         """,
         "curation_pipeline": f"""
             WITH s AS (
@@ -1278,26 +1360,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_type
             ORDER BY revenue DESC, p_type ASC LIMIT 5
         """,
-        "minhash_verified_pairs": f"""
-            WITH t AS (SELECT doc_id, {P.token_hashes_duck('text')} AS th FROM documents),
-            sig AS (SELECT doc_id,
-                    {', '.join(f"{P.minhash_duck('th', i)} AS mh_{i}" for i in range(16))}
-                    FROM t),
-            keyed AS (SELECT doc_id,
-                      {', '.join('(' + " || ':' || ".join(f"mh_{b * 4 + j}" for j in range(4)) + f") AS bk{b}" for b in range(4))}
-                      FROM sig),
-            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM keyed a JOIN keyed b
-                     ON a.doc_id < b.doc_id
-                     AND ({' OR '.join(f'a.bk{b} = b.bk{b}' for b in range(4))})),
-            sh AS (SELECT doc_id, {P.ngrams_duck('text', 3)} AS sh FROM documents)
-            SELECT id_a, id_b,
-                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
-                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_size
-            FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
-            WHERE len(list_intersect(a.sh, b.sh)) * 5
-                  >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-        """,
+        "minhash_verified_pairs": _duck_minhash_verified_sql(),
+        "minhash_candidate_ratio": _duck_minhash_ratio_sql(),
         "reference_extract": """
             WITH m AS (SELECT doc_id,
                               regexp_extract_all(text, '(table|join|window)', 1) AS refs

@@ -119,11 +119,16 @@ def detect_subitem_marker(text: str) -> Optional[str]:
 # --- F6: law-end marker (339-363) -------------------------------------------
 
 
+_CINNOS_GUARD_RE = re.compile(r"(?i)činnos")
+
+
 def detect_law_end_marker(text: str) -> bool:
     # O(1)-ish guard: the effectiveness phrase always contains 'činnos' in
     # some case, and the signature suffix fits in the last 6 chars — full
-    # lowercase of every span (the old path) dominated the battery's cost
-    if "činnos" in text or "ČINNOS" in text or "Činnos" in text:
+    # lowercase of every span (the old path) dominated the battery's cost.
+    # Case-insensitive regex (not literal casings): the reference lowercases
+    # the whole text, so intra-word mixed case ('účInnosť') must pass too.
+    if _CINNOS_GUARD_RE.search(text):
         if "tento zákon nadobúda účinnosť" in text.strip().lower():
             return True
     tail = text.rstrip()[-6:].lower()

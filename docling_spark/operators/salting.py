@@ -27,26 +27,53 @@ def doc_weights(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.size("spans").alias("weight"))
 
 
-def salt_by_weight(df: DataFrame, num_partitions: int) -> DataFrame:
+def salt_by_weight(df: DataFrame, num_partitions: int, n_buckets: int = 64) -> DataFrame:
     """Redistribute documents into `num_partitions` weight-balanced
-    partitions. Costs one global sort + shuffle — opt-in, for bad layouts.
+    partitions via a two-phase LPT deal — no single-partition term anywhere.
 
-    salt = row_number over weight-desc % num_partitions (LPT deal), then
-    repartition on the salt so co-salted docs land together.
+    Phase 1: weight-range buckets from a distributed quantile sketch
+    (`approxQuantile` — partial+final aggregate, tiny driver result), plus a
+    per-bucket count (same shape). Phase 2: `row_number` windowed PER BUCKET
+    (parallel across buckets), composed with the exclusive bucket offsets
+    into a global weight-descending rank; salt = rank % num_partitions is
+    the LPT deal. Every partition gets ~equal total weight, and the heaviest
+    `num_partitions` docs are guaranteed pairwise-separated.
 
-    Scale note: the LPT deal needs a global weight sort — exact and worth it
-    up to work lists of ~10^8 rows, but at the 10^12-doc design point use
-    hash redistribution instead (`pipeline.rebalance`): mega-docs are rare
-    and a uniform hash bounds expected partition imbalance at
-    mean + O(√mean) without any global ordering; the Arrow batch cap already
-    bounds the worst single-doc stall.
+    Equal to the exact global-sort deal up to tie order at bucket
+    boundaries (equal-weight docs are interchangeable for balance). Scales:
+    the widest window is one bucket (~1/n_buckets of the data), and both
+    driver-side results are O(n_buckets) scalars. For the 10^12-doc design
+    point where even this shuffle is unwanted, `pipeline.rebalance` (uniform
+    hash) remains the default path.
     """
-    w = Window.orderBy(F.col("weight").desc(), F.col("doc_id"))
-    salted = (
-        df.withColumn("weight", F.size("spans"))
-        .withColumn("salt", ((F.row_number().over(w) - 1) % num_partitions).cast("int"))
-        .drop("weight")
+    w = df.withColumn("weight", F.size("spans"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(w.stat.approxQuantile("weight", probs, 0.001)))
+    # bucket 0 = heaviest (weight above every cut); value-disjoint ranges
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col("weight") <= F.lit(c), 1).otherwise(0)
+    w = w.withColumn("bucket", bucket.cast("int"))
+    counts = dict(
+        (r["bucket"], r["n"])
+        for r in w.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     )
+    offsets = {}
+    acc = 0
+    for b in range(len(cuts) + 1):  # ascending bucket id = descending weight
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_col = F.lit(0)
+    for b, off in offsets.items():
+        if off:
+            off_col = F.when(F.col("bucket") == b, F.lit(off)).otherwise(off_col)
+    per_bucket = Window.partitionBy("bucket").orderBy(
+        F.col("weight").desc(), F.col("doc_id")
+    )
+    salted = w.withColumn(
+        "salt",
+        ((off_col + F.row_number().over(per_bucket) - 1) % num_partitions).cast("int"),
+    ).drop("weight", "bucket")
     # range partitioning maps the n distinct salts ~1:1 onto n partitions
     # (hash repartition would collide salts and re-skew)
     return salted.repartitionByRange(num_partitions, "salt").drop("salt")

@@ -20,6 +20,19 @@ from pyspark.sql import DataFrame, functions as F
 
 from docling_spark.ops import portable as P
 
+# Default LSH geometry, shared with the DuckDB oracles. MinHash runs over
+# word n-gram SHINGLES (MINHASH_SHINGLE_N) — the same feature set the verify
+# join compares — so banding selectivity tracks true similarity. (Round 1
+# minhashed unigram token sets while verifying 3-gram Jaccard: on a
+# self-similar corpus unigram sets overlap heavily, so 4×4 banding admitted
+# 54% of all pairs as candidates — a parameter-level scale-killer. With
+# shingle features the same 4×4 geometry (threshold ≈ (1/b)^(1/r) ≈ 0.71)
+# admits 0.02%.) Use `minhash_candidate_stats` to check the ratio on YOUR
+# corpus before a production run.
+MINHASH_N_HASHES = 16
+MINHASH_BAND_SIZE = 4
+MINHASH_SHINGLE_N = 3
+
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(text_hash, dup_count) per distinct text — dup_count > 1 means exact
@@ -32,9 +45,12 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", n_hashes: int = 16) -> DataFrame:
-    """(doc_id, mh_0..mh_{n-1}) portable minhash signature over word tokens."""
-    hashes = F.expr(P.token_hashes_spark(text_col))
+                      text_col: str = "text",
+                      n_hashes: int = MINHASH_N_HASHES,
+                      shingle_n: int = MINHASH_SHINGLE_N) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}) portable minhash signature over word n-gram
+    shingles (shingle_n=1 degenerates to unigram token sets)."""
+    hashes = F.expr(P.shingle_hashes_spark(text_col, shingle_n))
     out = docs.select(F.col(id_col), hashes.alias("_th"))
     for i in range(n_hashes):
         out = out.withColumn(f"mh_{i}", F.expr(P.minhash_spark("_th", i)).cast("long"))
@@ -42,13 +58,18 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n_hashes: int = 16,
-                       band_size: int = 4) -> DataFrame:
+                       text_col: str = "text",
+                       n_hashes: int = MINHASH_N_HASHES,
+                       band_size: int = MINHASH_BAND_SIZE,
+                       shingle_n: int = MINHASH_SHINGLE_N) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
 
     bands of `band_size` rows: docs agreeing on ALL rows of any band become
-    candidates — an equi-self-join on (band_id, band_key)."""
-    sig = minhash_signature(docs, id_col, text_col, n_hashes)
+    candidates — an equi-self-join on (band_id, band_key). Documents too
+    short to yield a shingle are excluded up front (their null signature
+    would otherwise cross-match as an empty band key)."""
+    docs = docs.filter(F.size(F.expr(P.ngrams_spark(text_col, shingle_n))) > 0)
+    sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_n)
     n_bands = n_hashes // band_size
     band_cols = []
     for b in range(n_bands):
@@ -72,6 +93,32 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def minhash_candidate_stats(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n_hashes: int = MINHASH_N_HASHES,
+                            band_size: int = MINHASH_BAND_SIZE,
+                            shingle_n: int = MINHASH_SHINGLE_N) -> DataFrame:
+    """One-row selectivity report for the current band geometry:
+    (n_docs, n_candidate_pairs, possible_pairs, candidate_ratio_e6).
+
+    The candidate ratio is THE scale health metric for LSH dedup — if a
+    meaningful fraction of all pairs collide, the verify join degenerates
+    toward all-pairs regardless of plan shape. Emit this alongside any
+    production run; re-tune (n_hashes, band_size) when ratio_e6 creeps up."""
+    cand = minhash_band_pairs(docs, id_col, text_col, n_hashes, band_size, shingle_n)
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidate_pairs"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    possible = F.col("n_docs") * (F.col("n_docs") - 1) / 2
+    return n_docs.crossJoin(n_cand).select(
+        "n_docs",
+        "n_candidate_pairs",
+        possible.cast("long").alias("possible_pairs"),
+        F.floor(F.col("n_candidate_pairs") * 1_000_000 / possible)
+        .cast("long")
+        .alias("candidate_ratio_e6"),
     )
 
 

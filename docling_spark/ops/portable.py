@@ -94,6 +94,17 @@ def fingerprint_duck(col: str) -> str:
     )
 
 
+# hashes of word n-gram shingles — the minhash feature set (Broder '97
+# shingling: minhash MUST run over the same features the verify join
+# compares, else banding selectivity decouples from true similarity)
+def shingle_hashes_spark(col: str, n: int) -> str:
+    return f"transform({ngrams_spark(col, n)}, g -> {token_hash_spark('g')})"
+
+
+def shingle_hashes_duck(col: str, n: int) -> str:
+    return f"list_transform({ngrams_duck(col, n)}, g -> {token_hash_duck('g')})"
+
+
 # character n-gram (shingle) arrays for near-dup Jaccard
 def ngrams_spark(col: str, n: int) -> str:
     # word n-grams: slide over tokens, join with single space

@@ -93,14 +93,17 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     # SQL string literals eat one backslash level inside F.expr
     email_sql = email.replace("\\", "\\\\")
     phone_sql = phone.replace("\\", "\\\\")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), email, "<EMAIL>"), phone, "<PHONE>"
-    )
+    email_scrubbed = F.regexp_replace(F.col(text_col), email, "<EMAIL>")
+    scrubbed = F.regexp_replace(email_scrubbed, phone, "<PHONE>")
+    # n_phones counts on the email-scrubbed intermediate so the counts equal
+    # the redactions actually performed (a digit run inside an email local
+    # part is redacted as <EMAIL>, and must not also count as a phone)
+    email_scrubbed_sql = f"regexp_replace({text_col}, '{email_sql}', '<EMAIL>')"
     return docs.select(
         F.col(id_col),
         scrubbed.alias("scrubbed"),
         F.size(F.expr(f"regexp_extract_all({text_col}, '{email_sql}', 0)")).cast("long").alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all({text_col}, '{phone_sql}', 0)")).cast("long").alias("n_phones"),
+        F.size(F.expr(f"regexp_extract_all({email_scrubbed_sql}, '{phone_sql}', 0)")).cast("long").alias("n_phones"),
     )
 
 

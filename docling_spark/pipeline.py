@@ -113,7 +113,7 @@ def extract_pandas(df, extra_cols: str = ""):
     return df.mapInPandas(gen, schema=schema)
 
 
-def _extract_record_batch(rb):
+def _extract_record_batch(rb, declared_extra=None):
     """One Arrow RecordBatch of documents → one normalized RecordBatch.
 
     Bulk columnar marshaling: the span struct's child arrays convert to
@@ -162,12 +162,23 @@ def _extract_record_batch(rb):
     )
     out_spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
     # emit in declared-schema order: doc_id, spans, then passthrough columns
+    # ordered by the DECLARED extra-col names (mapInArrow binds positionally;
+    # emitting in input-batch order would silently mislabel a caller whose
+    # column order differs from its extra_cols string)
     arrays = [rb.column(names.index("doc_id")), out_spans]
     out_names = ["doc_id", "spans"]
-    for name in names:
-        if name not in ("doc_id", "spans"):
-            arrays.append(rb.column(names.index(name)))
-            out_names.append(name)
+    extra_names = (
+        declared_extra
+        if declared_extra is not None
+        else [n for n in names if n not in ("doc_id", "spans")]
+    )
+    for name in extra_names:
+        if name not in names:
+            raise ValueError(
+                f"extra_cols declares {name!r} but the input batch has {names}"
+            )
+        arrays.append(rb.column(names.index(name)))
+        out_names.append(name)
     return pa.RecordBatch.from_arrays(arrays, out_names)
 
 
@@ -179,11 +190,14 @@ def extract(df, extra_cols: str = ""):
     column without a join. Arrow-native marshaling — see
     _extract_record_batch."""
     schema = DOC_DDL + extra_cols
+    declared_extra = [
+        part.strip().split()[0] for part in extra_cols.split(",") if part.strip()
+    ]
 
     def gen(batches):
         for rb in batches:
             if rb.num_rows:
-                yield _extract_record_batch(rb)
+                yield _extract_record_batch(rb, declared_extra)
 
     return df.mapInArrow(gen, schema=schema)
 

@@ -40,10 +40,32 @@ def test_minhash_identical_docs_same_signature(docs):
 def test_minhash_band_pairs_finds_dups(docs):
     from docling_spark.ops.dedup import minhash_band_pairs
 
+    # default geometry (3-gram shingles, 4 bands × 4 rows, threshold ≈ 0.71):
+    # exact dups collide, unrelated docs never do
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_band_pairs(docs).collect()}
     assert (1, 2) in pairs
-    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in ≥1 band
     assert (1, 5) not in pairs
+
+    # recall-maximal geometry (16 bands × 1 row: collide on ANY agreeing
+    # minhash) also catches the one-word-off near dup (3-gram jaccard ≈ 0.45)
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_band_pairs(docs, band_size=1).collect()
+    }
+    assert (1, 2) in loose
+    assert (1, 3) in loose or (2, 3) in loose
+    assert (1, 5) not in loose
+
+
+def test_minhash_candidate_stats(docs):
+    from docling_spark.ops.dedup import minhash_candidate_stats
+
+    row = minhash_candidate_stats(docs).collect()[0]
+    assert row["n_docs"] == 5
+    assert row["possible_pairs"] == 10
+    # default precision geometry: only the exact dup pair collides
+    assert row["n_candidate_pairs"] == 1
+    assert row["candidate_ratio_e6"] == 100_000
 
 
 def test_ngram_jaccard(docs):

@@ -63,6 +63,20 @@ def test_salting_balances_weight(spark, corpus_path):
     assert max(weights) <= 2 * max(1, min(weights))
 
 
+def test_salting_plan_has_no_single_partition_exchange(spark, corpus_path):
+    # the two-phase LPT deal must never funnel rows through one partition
+    # (the round-1 form used an unpartitioned global window — a scale-killer)
+    import contextlib
+    import io
+
+    df = spark.read.parquet(corpus_path)
+    salted = salt_by_weight(df, 8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted.explain(True)
+    assert "SinglePartition" not in buf.getvalue()
+
+
 def test_doc_weights(spark, corpus_path):
     df = spark.read.parquet(corpus_path)
     w = doc_weights(df)

@@ -34,7 +34,7 @@ spark = get_spark(app="scaling", master="local[{cores}]",
 df = spark.read.parquet({corpus!r})
 # warm-up: one full untimed pass spawns the python worker pool AND lets the
 # JVM JIT the arrow/python-runner path (a cold pass pays one-time JIT that a
-# long-lived cluster job amortizes away); then min over two timed passes —
+# long-lived cluster job amortizes away); then min over three timed passes —
 # the host shows bursty CPU-steal, so the least-interfered run is the
 # steady-state estimate. Both levels use the identical protocol, so the
 # efficiency ratio stays apples-to-apples.
