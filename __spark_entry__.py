@@ -94,6 +94,74 @@ def _corpus_path(sf_dir: str) -> str:
     return path
 
 
+def _engine_version() -> str:
+    """Content hash of the extraction-affecting engine sources, so cached
+    derived tables invalidate when the pipeline semantics change."""
+    import glob
+    import hashlib
+
+    import docling_spark
+
+    pkg = os.path.dirname(docling_spark.__file__)
+    h = hashlib.sha256()
+    for p in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+def _normalized_path(sf_dir: str) -> str:
+    """Deterministic NORMALIZED span corpus (the extraction pipeline's
+    output) as a single parquet file both engines can read — Spark for the
+    chunker queries, DuckDB for their oracles. Built without Spark via the
+    same pure per-document function the mapInArrow stage runs
+    (pipeline.extract_document_safe), so the file is byte-stable and cheap
+    to (re)create from any process."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_spark.pipeline import extract_document_safe
+
+    corpus = _corpus_path(sf_dir)
+    base = os.path.basename(corpus).replace("corpus", "norm").rsplit(".", 1)[0]
+    path = f"/tmp/docling_spark_{base}_{_engine_version()}.parquet"
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(corpus)
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    doc_ids, spans_col = [], []
+    for row in sorted(tbl.to_pylist(), key=lambda r: r["doc_id"]):
+        raw = [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in sorted(row["spans"], key=lambda s: s["offset"])
+        ]
+        normalized = extract_document_safe(raw)
+        doc_ids.append(row["doc_id"])
+        spans_col.append(
+            [
+                {"kind": k, "text": t, "media_ref": r, "offset": i}
+                for i, (k, t, r) in enumerate(normalized)
+            ]
+        )
+    out = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()),
+         "spans": pa.array(spans_col, span_type)}
+    )
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -718,19 +786,98 @@ def x_markdown_sink(spark, sf_dir):
     return markdown_sink(extract(docs))
 
 
-def x_law_chunks(spark, sf_dir):
-    from docling_spark.operators.serialize import chunk_sink
+def x_html_sink(spark, sf_dir):
+    # S7-sibling HTML serializer (reference serializer/html.py semantics at
+    # span granularity); rows-only — goldens pin the exact strings
+    from docling_spark.operators.serialize import html_sink
     from docling_spark.pipeline import extract
 
     _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(sf_dir))
-    out = chunk_sink(extract(docs), level="odsek")
+    return html_sink(extract(docs))
+
+
+def x_extract_full(spark, sf_dir):
+    # flagship end-to-end: extract → J4 enrichment, exploded to spans
+    from docling_spark.pipeline import extract_full
+
+    _ensure_workers(spark)
+    docs = spark.read.parquet(_corpus_path(sf_dir))
+    return extract_full(docs).select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def x_annex_integration(spark, sf_dir):
+    # J5 end-to-end: manifest (every law declares annexes 1-2) broadcast
+    # left-joined against extraction output; unresolved → placeholder rows
+    from docling_spark.pipeline import extract_full
+    from docling_spark.sources.readers import integrate_annexes
+
+    _ensure_workers(spark)
+    docs = spark.read.parquet(_corpus_path(sf_dir))
+    law_ids = (
+        docs.select(F.regexp_extract("doc_id", r"^law-(\d+)$", 1).alias("law_id"))
+        .filter(F.col("law_id") != "")
+        .distinct()
+    )
+    manifest = (
+        law_ids.crossJoin(
+            spark.range(1, 3).select(F.col("id").cast("int").alias("annex_no"))
+        )
+        .withColumn("annex_title", F.concat(F.lit("Príloha č. "), F.col("annex_no")))
+        .withColumn("annex_type", F.lit("inline"))
+        .withColumn("annex_url", F.lit(None).cast("string"))
+    )
+    return integrate_annexes(extract_full(docs), manifest)
+
+
+def x_chunk_export_rag(spark, sf_dir):
+    # S8 per-format chunk writer (.rag.json shape); rows-only — format
+    # byte-layout pinned by pytest
+    from docling_spark.operators.serialize import chunk_export_sink
+
+    _ensure_workers(spark)
+    norm = spark.read.parquet(_normalized_path(sf_dir))
+    return chunk_export_sink(norm, fmt="rag", level="odsek")
+
+
+def q_law_chunks(spark, sf_dir):
+    """S8/K5 oracle-checked: the law-level chunker over the materialized
+    normalized span table (the extraction stage itself is separately
+    golden-tested + rows-only checked via extract_normalized), so DuckDB can
+    reproduce the chunk semantics from the identical input file."""
+    from docling_spark.operators.serialize import chunk_sink
+
+    _ensure_workers(spark)
+    norm = spark.read.parquet(_normalized_path(sf_dir))
+    out = chunk_sink(norm, level="odsek")
     # flatten the array column: the driver canonicalizer sorts/hashes scalar
     # columns only (lists are unhashable in its pandas sort)
     return out.select(
         "doc_id", "chunk_id", "level", "content",
         F.array_join("headings", "|").alias("headings"),
         F.col("content_length").cast("long").alias("content_length"),
+    )
+
+
+def q_render_triplets(spark, sf_dir):
+    """C8 oracle-checked: triplet serialization of every reconstructed table
+    in the normalized corpus ('row_header, col_header = value. ' sentences),
+    cross-checked against a DuckDB reimplementation over the same file."""
+    from docling_spark.operators.grids import triplets_sink
+
+    _ensure_workers(spark)
+    norm = spark.read.parquet(_normalized_path(sf_dir))
+    out = triplets_sink(norm)
+    return out.select(
+        "doc_id", F.col("table_id").cast("long").alias("table_id"), "triplets"
     )
 
 
@@ -807,7 +954,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": x_multimodal_audio_features,
         "multimodal_frame_sample": x_multimodal_frame_sample,
         "markdown_sink": x_markdown_sink,
-        "law_chunks": x_law_chunks,
+        "html_sink": x_html_sink,
+        "extract_full": x_extract_full,
+        "annex_integration": x_annex_integration,
+        "law_chunks": q_law_chunks,
+        "render_triplets": q_render_triplets,
+        "chunk_export_rag": x_chunk_export_rag,
         "hybrid_chunks": x_hybrid_chunks,
     }
 
@@ -1092,6 +1244,134 @@ def _duck_join_tokens_sql() -> str:
                    '120 )', '120)'), 'č. 1 .', 'č. 1.'),
                  '\\s+([,.])', '\\1', 'g') AS joined
         FROM f
+    """
+
+
+def _duck_law_chunks_sql() -> str:
+    """S8/K5 oracle: the law-level chunker (serialize.chunk_document,
+    level='odsek') re-expressed in SQL over the SAME normalized parquet the
+    Spark query reads. Segmentation + content are window/group ops; the
+    heading stack is a list_reduce fold with ops encoded as [tag, text]
+    VARCHAR[] pairs (a struct accumulator miscompiles in DuckDB 1.0)."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    fold = """(acc, s) -> CASE s[1]
+        WHEN 'T' THEN [s[2]]
+        WHEN 'P' THEN list_concat(list_slice(acc, 1, 1), [s[2]])
+        WHEN 'R' THEN list_concat(list_slice(acc, 1, 2), [s[2]])
+        ELSE list_concat(acc, [s[2]]) END"""
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, unnest(spans) AS s FROM read_parquet('{path}')
+        ),
+        e AS (
+          SELECT doc_id, s.kind AS kind, s.text AS text, s.media_ref AS ref,
+                 s."offset" AS o
+          FROM raw
+        ),
+        seg AS (
+          SELECT *, sum(CASE WHEN kind IN
+                   ('part','paragraph','odsek','annex','footnote')
+                 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY o) AS seg
+          FROM e
+        ),
+        heads AS (
+          SELECT doc_id, seg, kind AS seg_kind, text AS seg_text,
+                 ref AS seg_ref, o AS seg_o
+          FROM seg
+          WHERE kind IN ('part','paragraph','odsek','annex','footnote')
+        ),
+        content AS (
+          SELECT s.doc_id, s.seg,
+                 string_agg(s.text, chr(10) ORDER BY s.o) AS content
+          FROM seg s JOIN heads h USING (doc_id, seg)
+          WHERE h.seg_kind IN ('odsek','annex','footnote')
+            AND (s.o = h.seg_o
+                 OR s.kind IN ('text','subitem','table_cell','list_item',
+                               'paragraph_title','section_header'))
+          GROUP BY 1, 2
+        ),
+        ops AS (
+          SELECT s.doc_id, s.o,
+                 CASE s.kind WHEN 'title' THEN 'T' WHEN 'part' THEN 'P'
+                      WHEN 'paragraph' THEN 'R' ELSE 'A' END AS tag,
+                 s.text
+          FROM seg s LEFT JOIN heads h USING (doc_id, seg)
+          WHERE s.kind IN ('title','part','paragraph')
+             OR (s.kind IN ('paragraph_title','section_header')
+                 AND coalesce(h.seg_kind,'') NOT IN ('odsek','annex','footnote'))
+        ),
+        chunk_heads AS (
+          SELECT h.doc_id, h.seg, h.seg_kind, h.seg_text, h.seg_ref, h.seg_o,
+                 c.content
+          FROM heads h JOIN content c USING (doc_id, seg)
+          WHERE h.seg_kind IN ('odsek','annex','footnote')
+        ),
+        folded AS (
+          SELECT ch.doc_id, ch.seg, ch.seg_kind, ch.seg_text, ch.seg_ref,
+                 ch.seg_o, any_value(ch.content) AS content,
+                 list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]),
+                     coalesce(list([o2.tag, o2.text] ORDER BY o2.o)
+                              FILTER (WHERE o2.o IS NOT NULL), [])),
+                   {fold}) AS stack
+          FROM chunk_heads ch
+          LEFT JOIN ops o2 ON o2.doc_id = ch.doc_id AND o2.o < ch.seg_o
+          GROUP BY ch.doc_id, ch.seg, ch.seg_kind, ch.seg_text, ch.seg_ref,
+                   ch.seg_o
+        )
+        SELECT doc_id,
+               doc_id || '/' || ltrim(coalesce(seg_ref, seg_text), '#') AS chunk_id,
+               seg_kind AS level,
+               content,
+               coalesce(array_to_string(stack, '|'), '') AS headings,
+               CAST(length(content) AS BIGINT) AS content_length
+        FROM folded
+    """
+
+
+def _duck_triplets_sql() -> str:
+    """C8 oracle: per-table triplet rendering from the normalized parquet.
+    Body cells (r>0, c>0, non-empty value) render row-major as
+    '<row_header>, <col_header> = <value>. '; tables under 2×2 render ''."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, unnest(spans) AS s FROM read_parquet('{path}')
+        ),
+        cells AS (
+          SELECT doc_id,
+                 TRY_CAST(regexp_extract(s.media_ref, '#/tables/(\\d+)/r', 1) AS INT) AS tid,
+                 TRY_CAST(regexp_extract(s.media_ref, '/r(\\d+)c', 1) AS INT) AS r,
+                 TRY_CAST(regexp_extract(s.media_ref, 'c(\\d+)$', 1) AS INT) AS c,
+                 s.text AS text
+          FROM raw
+          WHERE s.kind = 'table_cell'
+            AND regexp_matches(s.media_ref, '#/tables/\\d+/r\\d+c\\d+$')
+        ),
+        dims AS (
+          SELECT doc_id, tid, max(r) + 1 AS nr, max(c) + 1 AS nc
+          FROM cells GROUP BY 1, 2
+        ),
+        colh AS (SELECT doc_id, tid, c, text FROM cells WHERE r = 0),
+        rowh AS (SELECT doc_id, tid, r, text FROM cells WHERE c = 0),
+        body AS (SELECT * FROM cells WHERE r > 0 AND c > 0 AND text <> ''),
+        trip AS (
+          SELECT b.doc_id, b.tid,
+                 string_agg(
+                   coalesce(rh.text, '') || ', ' || coalesce(ch.text, '')
+                   || ' = ' || b.text || '. ', '' ORDER BY b.r, b.c) AS s
+          FROM body b
+          LEFT JOIN rowh rh ON rh.doc_id = b.doc_id AND rh.tid = b.tid AND rh.r = b.r
+          LEFT JOIN colh ch ON ch.doc_id = b.doc_id AND ch.tid = b.tid AND ch.c = b.c
+          GROUP BY 1, 2
+        )
+        SELECT d.doc_id, CAST(d.tid AS BIGINT) AS table_id,
+               CASE WHEN d.nr < 2 OR d.nc < 2 THEN ''
+                    ELSE coalesce(trim(t.s), '') END AS triplets
+        FROM dims d LEFT JOIN trip t ON t.doc_id = d.doc_id AND t.tid = d.tid
     """
 
 
@@ -1384,6 +1664,8 @@ def oracle_sql() -> dict[str, str]:
                      '\\s+', ' ', 'g')) AS normalized
             FROM documents
         """,
+        "law_chunks": _duck_law_chunks_sql(),
+        "render_triplets": _duck_triplets_sql(),
         "ann_ivf_topk": _duck_ivf_topk_sql(),
         "ivf_cells": _duck_ivf_assign_sql(),
         "grid_densify": """

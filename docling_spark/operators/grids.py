@@ -113,3 +113,61 @@ def render_triplets(cells: Sequence[Cell], num_rows: int, num_cols: int) -> str:
 def json_sink(df: DataFrame) -> DataFrame:
     """S6 — debug/export sink: (doc_id, json) of the normalized spans."""
     return df.select("doc_id", F.to_json("spans").alias("json"))
+
+
+_CELL_REF_RE = None  # lazily compiled inside the worker
+
+
+def triplets_from_spans(doc_id: str, spans) -> List[tuple]:
+    """One normalized document → (doc_id, table_id, triplets) per table.
+
+    Reconstructs each table from its `table_cell` spans (media_ref shape
+    '#/tables/<i>/r<R>c<C>', row-major) and renders the C8 triplet text
+    (TripletTableSerializer semantics — reference
+    transforms/chunker/hierarchical_chunker.py:44-90). Pure per-document
+    function, shared by the Spark sink and tests."""
+    import re
+
+    global _CELL_REF_RE
+    if _CELL_REF_RE is None:
+        _CELL_REF_RE = re.compile(r"#/tables/(\d+)/r(\d+)c(\d+)$")
+    tables: dict = {}
+    for kind, text, ref in spans:
+        if kind != "table_cell" or not ref:
+            continue
+        m = _CELL_REF_RE.match(ref)
+        if not m:
+            continue
+        tid, r, c = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        tables.setdefault(tid, []).append((r, c, 1, 1, text, r == 0))
+    out = []
+    for tid in sorted(tables):
+        cells = tables[tid]
+        nr = max(c[0] for c in cells) + 1
+        nc = max(c[1] for c in cells) + 1
+        out.append((doc_id, tid, render_triplets(cells, nr, nc)))
+    return out
+
+
+def triplets_sink(df: DataFrame) -> DataFrame:
+    """C8 sink: normalized documents → (doc_id, table_id, triplets), one row
+    per reconstructed table. Document-local → same zero-shuffle mapInPandas
+    shape as the other sinks."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows: List[tuple] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                span_tuples = [
+                    (s["kind"], s["text"], s["media_ref"])
+                    for s in (list(spans) if spans is not None else [])
+                ]
+                rows.extend(triplets_from_spans(doc_id, span_tuples))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "table_id", "triplets"]
+            )
+
+    return df.mapInPandas(
+        gen, schema="doc_id string, table_id int, triplets string"
+    )

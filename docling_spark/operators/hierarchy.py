@@ -159,7 +159,6 @@ def reconstruct(spans: List[Span]) -> List[Span]:
                 st.footnote_no = foot
                 st.emit("footnote", f"{foot})", f"#poznamky.poznamka-{foot}")
                 # definition text may share the span: "1) Zákon č. ..."
-                m = M.extract_marker_from_text(text, "pismeno")
                 rest = text[len(foot) + 1 :].strip()
                 if rest:
                     st.buf.append(rest)

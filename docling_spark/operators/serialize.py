@@ -111,6 +111,115 @@ def markdown_sink(df):
 
 
 # ---------------------------------------------------------------------------
+# HTML sink (the reference's serializer matrix ships an HTML serializer:
+# docling_code/docling-core-main/docling_core/transforms/serializer/html.py
+# — headings h1-h6 via escaped text :135-180, tables as
+# <table><tbody><tr><th|td> with th for header cells :344-415, pictures as
+# <figure><img/></figure> :336, captions via serialize_captions. Re-expressed
+# here at our span granularity; same escaping rules.)
+# ---------------------------------------------------------------------------
+
+_HTML_HEADING_TAG = {
+    "title": "h1",
+    "part": "h1",
+    "section_header": "h2",
+    "paragraph": "h2",
+    "paragraph_title": "h3",
+    "annex": "h2",
+}
+
+
+def _esc(text: str) -> str:
+    """html.escape(quote=False) + newline→<br>, as the reference's text
+    serializer does (html.py:162-163)."""
+    import html as _html
+
+    return _html.escape(text or "", quote=False).replace("\n", "<br>")
+
+
+def render_html(spans: List[Span]) -> str:
+    """One document's normalized spans → HTML string (body fragment)."""
+    out: List[str] = []
+    table_rows: List[List[str]] = []
+    table_idx: Optional[str] = None
+    in_list = False
+
+    def flush_list() -> None:
+        nonlocal in_list
+        if in_list:
+            out.append("</ul>")
+            in_list = False
+
+    def flush_table() -> None:
+        nonlocal table_rows, table_idx
+        if not table_rows:
+            return
+        body = []
+        for r, row in enumerate(table_rows):
+            tag = "th" if r == 0 else "td"
+            body.append(
+                "<tr>" + "".join(f"<{tag}>{c}</{tag}>" for c in row) + "</tr>"
+            )
+        out.append("<table><tbody>" + "".join(body) + "</tbody></table>")
+        table_rows = []
+        table_idx = None
+
+    for kind, text, ref in spans:
+        if kind == "table_cell":
+            flush_list()
+            tid = (ref or "").split("/r")[0]
+            if table_idx is not None and tid != table_idx:
+                flush_table()
+            table_idx = tid
+            row_tag = (ref or "").rsplit("/r", 1)[-1]
+            r = int(row_tag.split("c")[0]) if "c" in row_tag else 0
+            while len(table_rows) <= r:
+                table_rows.append([])
+            # cell text stripped + escaped like html.py:387
+            table_rows[r].append(_esc((text or "").strip()))
+            continue
+        flush_table()
+        if kind == "list_item":
+            if not in_list:
+                out.append("<ul>")
+                in_list = True
+            out.append(f"<li>{_esc(text)}</li>")
+            continue
+        flush_list()
+        if kind in _HTML_HEADING_TAG:
+            tag = _HTML_HEADING_TAG[kind]
+            out.append(f"<{tag}>{_esc(text)}</{tag}>")
+        elif kind in ("odsek", "pismeno", "subitem", "footnote"):
+            out.append(f"<p><b>{_esc(text)}</b></p>")
+        elif kind == "media":
+            out.append(f'<figure><img src="{ref or ""}" alt="{_esc(text)}" /></figure>')
+        elif kind == "caption":
+            out.append(f"<figcaption>{_esc(text)}</figcaption>")
+        else:
+            out.append(f"<p>{_esc(text)}</p>")
+    flush_table()
+    flush_list()
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def html_sink(df):
+    """normalized documents → (doc_id, html). Same zero-shuffle mapInPandas
+    shape as markdown_sink."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rendered = [
+                render_html(
+                    [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)]
+                )
+                for spans in pdf["spans"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "html": rendered})
+
+    return df.mapInPandas(gen, schema="doc_id string, html string")
+
+
+# ---------------------------------------------------------------------------
 # law-level chunking (K5): one chunk per unit at the chosen level, with
 # parent headings as context
 # ---------------------------------------------------------------------------
@@ -185,6 +294,76 @@ def chunk_document(doc_id: str, spans: List[Span], level: str = "odsek") -> List
             buf.append(text)
     close()
     return chunks
+
+
+def export_chunks(chunks: List[tuple], fmt: str) -> str:
+    """S8: one document's chunks → the reference's per-format payload
+    (chunk_to_markdown.py:771-868 — save_chunks writes `.chunks.json`,
+    `.chunks.md` with '---' separators, and `.rag.json`
+    {"chunks":[{text, metadata}]}; byte-layout mirrored incl. indent=2)."""
+    import json as _json
+
+    dicts = [
+        {
+            "chunk_id": cid,
+            "level": lvl,
+            "content": content,
+            "headings": list(heads),
+            "content_length": clen,
+        }
+        for (_doc, cid, lvl, content, heads, clen) in chunks
+    ]
+    if fmt == "json":
+        return _json.dumps(dicts, ensure_ascii=False, indent=2)
+    if fmt == "md":
+        parts: List[str] = []
+        for i, d in enumerate(dicts):
+            if i > 0:
+                parts.append("\n\n---\n")
+            parts.append(d["content"])
+        return "\n".join(parts)
+    if fmt == "rag":
+        rag = {
+            "chunks": [
+                {
+                    "text": d["content"],
+                    "metadata": {
+                        "chunk_id": d["chunk_id"],
+                        "level": d["level"],
+                        "headings": d["headings"],
+                        "content_length": d["content_length"],
+                    },
+                }
+                for d in dicts
+            ]
+        }
+        return _json.dumps(rag, ensure_ascii=False, indent=2)
+    raise ValueError(f"unknown chunk export format: {fmt!r}")
+
+
+def chunk_export_sink(df, fmt: str, level: str = "odsek"):
+    """normalized documents → (doc_id, payload) in the chosen export format
+    ('json' | 'md' | 'rag'). Document-local: chunking + formatting fuse into
+    the same zero-shuffle mapInPandas stage (the reference writes one file
+    per law; the Spark-native form is one payload row per doc, written by
+    the caller's sink of choice)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                export_chunks(
+                    chunk_document(
+                        doc_id,
+                        [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)],
+                        level,
+                    ),
+                    fmt,
+                )
+                for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return df.mapInPandas(gen, schema="doc_id string, payload string")
 
 
 def chunk_sink(df, level: str = "odsek"):

@@ -202,6 +202,20 @@ def extract(df, extra_cols: str = ""):
     return df.mapInArrow(gen, schema=schema)
 
 
+def extract_full(df):
+    """The full flagship path: extract (sniff → HTML/PDF normalize →
+    hierarchy state machine) followed by J4 paragraph enrichment
+    (operators.enrich — re-extracts embedded pismeno runs into synthetic
+    odseks). Still one narrow zero-shuffle chain: mapInArrow → mapInPandas.
+    Annex integration (J5) composes on top via
+    sources.readers.integrate_annexes(extract_full(df), manifest) — it
+    returns an audit table, not the span shape, so it stays a separate
+    stage."""
+    from docling_spark.operators.enrich import enrich
+
+    return enrich(extract(df))
+
+
 def rebalance(df, num_partitions: int):
     """Optional explicit skew mitigation: hash-repartition documents so
     pathological input files (one giant doc per split) spread across the

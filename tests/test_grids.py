@@ -79,3 +79,34 @@ def test_json_sink(spark, corpus_path):
     out = json_sink(extract(spark.read.parquet(corpus_path)))
     assert out.filter("json is null").count() == 0
     assert out.count() == 60
+
+
+def test_triplets_from_spans():
+    from docling_spark.operators.grids import triplets_from_spans
+
+    spans = [
+        ("title", "Zákon", None),
+        ("table_cell", "Položka", "#/tables/0/r0c0"),
+        ("table_cell", "Suma", "#/tables/0/r0c1"),
+        ("table_cell", "1-1", "#/tables/0/r1c0"),
+        ("table_cell", "10", "#/tables/0/r1c1"),
+        ("table_cell", "X", "#/tables/1/r0c0"),  # 1×1 table renders ''
+        ("text", "ignored", None),
+    ]
+    out = triplets_from_spans("d1", spans)
+    assert out == [
+        ("d1", 0, "1-1, Suma = 10."),
+        ("d1", 1, ""),
+    ]
+
+
+def test_triplets_sink_spark(spark, corpus_path):
+    from docling_spark.operators.grids import triplets_sink
+    from docling_spark.pipeline import extract
+
+    out = triplets_sink(extract(spark.read.parquet(corpus_path)))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["triplets"] is not None for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

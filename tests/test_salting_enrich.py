@@ -81,3 +81,19 @@ def test_doc_weights(spark, corpus_path):
     df = spark.read.parquet(corpus_path)
     w = doc_weights(df)
     assert w.filter("weight <= 0").count() == 0
+
+
+def test_extract_full_end_to_end(spark, corpus_path):
+    # flagship composition: extract → enrich stays narrow (no Exchange) and
+    # yields the same docs with only enrichment rewrites
+    from docling_spark.pipeline import extract, extract_full
+
+    df = spark.read.parquet(corpus_path)
+    full = extract_full(df)
+    assert full.count() == 60
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # enrichment only ever adds synthetic odsek/pismeno spans — never drops
+    base_n = extract(df).selectExpr("sum(size(spans))").collect()[0][0]
+    full_n = full.selectExpr("sum(size(spans))").collect()[0][0]
+    assert full_n >= base_n

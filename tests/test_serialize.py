@@ -82,3 +82,107 @@ def test_spark_sinks(spark, corpus_path):
     for df in (md, chunks):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_render_html():
+    from docling_spark.operators.serialize import render_html
+
+    spans = _SPANS + [
+        ("list_item", "prvý bod", None),
+        ("list_item", "a < b & c", None),
+        ("caption", "Tabuľka 1", None),
+    ]
+    h = render_html(spans)
+    assert "<h1>Zákon č. 1/2020 Z. z.</h1>" in h
+    assert "<h1>PRVÁ ČASŤ</h1>" in h
+    assert "<h2>§ 1</h2>" in h
+    assert "<h3>Predmet</h3>" in h
+    assert "<p><b>(1)</b></p>" in h
+    assert "<table><tbody><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></tbody></table>" in h
+    assert '<figure><img src="img://x.png" alt="obrázok" /></figure>' in h
+    # list grouping + escaping
+    assert "<ul>\n<li>prvý bod</li>\n<li>a &lt; b &amp; c</li>\n</ul>" in h
+    assert "<figcaption>Tabuľka 1</figcaption>" in h
+
+
+def test_html_goldens():
+    """Committed HTML fixtures over the same golden docs as the span-sequence
+    suite. Regenerate after a REVIEWED change with:
+        python -c "from tests.test_serialize import regen_html; regen_html()"
+    """
+    import glob
+    import json
+    import os
+
+    from docling_spark.operators.serialize import render_html
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    fixtures = sorted(glob.glob(os.path.join(gdir, "*.html")))
+    assert fixtures, "no committed .html goldens"
+    for path in fixtures:
+        doc_id = os.path.splitext(os.path.basename(path))[0]
+        with open(os.path.join(gdir, f"{doc_id}.json")) as f:
+            spans = [tuple(s) for s in json.load(f)]
+        with open(path) as f:
+            golden = f.read()
+        assert render_html(spans) == golden, f"html mismatch for {doc_id}"
+
+
+def test_html_sink_spark(spark, corpus_path):
+    from docling_spark.operators.serialize import html_sink
+    from docling_spark.pipeline import extract
+
+    out = html_sink(extract(spark.read.parquet(corpus_path)))
+    assert out.filter("html is null or html = ''").count() == 0
+    assert out.count() == 60
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def regen_html():
+    import glob
+    import json
+    import os
+
+    from docling_spark.operators.serialize import render_html
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    for jpath in sorted(glob.glob(os.path.join(gdir, "*.json"))):
+        doc_id = os.path.splitext(os.path.basename(jpath))[0]
+        with open(jpath) as f:
+            spans = [tuple(s) for s in json.load(f)]
+        with open(os.path.join(gdir, f"{doc_id}.html"), "w") as f:
+            f.write(render_html(spans))
+
+
+def test_export_chunks_formats():
+    import json
+
+    from docling_spark.operators.serialize import chunk_document, export_chunks
+
+    chunks = chunk_document("doc1", _SPANS, level="odsek")
+    j = json.loads(export_chunks(chunks, "json"))
+    assert len(j) == len(chunks)
+    assert j[0]["chunk_id"] == chunks[0][1]
+    assert j[0]["content_length"] == len(j[0]["content"])
+
+    rag = json.loads(export_chunks(chunks, "rag"))
+    assert set(rag) == {"chunks"}
+    assert rag["chunks"][0]["text"] == chunks[0][3]
+    assert rag["chunks"][0]["metadata"]["chunk_id"] == chunks[0][1]
+
+    md = export_chunks(chunks, "md")
+    # reference separator layout: parts joined by '\n' with '\n\n---\n' items
+    assert md.count("\n\n\n---\n\n") == len(chunks) - 1
+    assert md.startswith(chunks[0][3])
+
+
+def test_chunk_export_sink_spark(spark, corpus_path):
+    from docling_spark.operators.serialize import chunk_export_sink
+    from docling_spark.pipeline import extract
+
+    out = chunk_export_sink(extract(spark.read.parquet(corpus_path)), fmt="rag")
+    assert out.count() == 60
+    assert out.filter("payload not like '{%'").count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

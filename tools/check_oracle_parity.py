@@ -55,6 +55,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # oracles that read derived parquet (e.g. law_chunks' normalized table)
+    # must derive it from the SAME sf as the Spark queries
+    os.environ["DOCLING_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as E
     from docling_spark.session import get_spark
