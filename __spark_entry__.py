@@ -838,6 +838,17 @@ def x_annex_integration(spark, sf_dir):
     return integrate_annexes(extract_full(docs), manifest)
 
 
+def x_doctags_sink(spark, sf_dir):
+    # serializer-matrix third format (reference serializer/doctags.py):
+    # token stream incl. OTSL tables; rows-only — goldens pin the strings
+    from docling_spark.operators.serialize import doctags_sink
+    from docling_spark.pipeline import extract
+
+    _ensure_workers(spark)
+    docs = spark.read.parquet(_corpus_path(sf_dir))
+    return doctags_sink(extract(docs))
+
+
 def x_chunk_export_rag(spark, sf_dir):
     # S8 per-format chunk writer (.rag.json shape); rows-only — format
     # byte-layout pinned by pytest
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "law_chunks": q_law_chunks,
         "render_triplets": q_render_triplets,
         "chunk_export_rag": x_chunk_export_rag,
+        "doctags_sink": x_doctags_sink,
         "hybrid_chunks": x_hybrid_chunks,
     }
 

@@ -41,10 +41,46 @@ _TOKEN_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
 # delimiter between merged/packed pieces — the reference's self.delim is "\n"
 _DELIM = "\n"
 
+# Real-tokenizer hook (reference hybrid_chunker.py:171-214 counts with an HF
+# tokenizer). Neither `tokenizers` nor `transformers` ships in this
+# container, so the regex proxy is the default; when a wheel is available,
+# set DOCLING_TOKENIZER=<name-or-path> and the budget arithmetic below uses
+# the real counter unchanged. Lazy per-process singleton (one load per
+# executor python worker, same pattern as the reference's cached tokenizer).
+_HF_TOKENIZER = None
+_HF_TRIED = False
+
+
+def _hf_tokenizer():
+    global _HF_TOKENIZER, _HF_TRIED
+    if _HF_TRIED:
+        return _HF_TOKENIZER
+    _HF_TRIED = True
+    import os
+
+    name = os.environ.get("DOCLING_TOKENIZER")
+    if name:
+        try:
+            from tokenizers import Tokenizer  # optional dependency
+
+            _HF_TOKENIZER = (
+                Tokenizer.from_file(name)
+                if os.path.exists(name)
+                else Tokenizer.from_pretrained(name)
+            )
+        except Exception:  # wheel absent / model unavailable → regex proxy
+            _HF_TOKENIZER = None
+    return _HF_TOKENIZER
+
 
 def count_tokens(text: str) -> int:
-    """BPE-ish subword proxy: runs of letters / digits / single punctuation —
-    the same counter as ops.textstats.token_count's n_tokens_bpe."""
+    """Token count for the chunk budget: the HF tokenizer when configured
+    (DOCLING_TOKENIZER) else a BPE-ish subword proxy (runs of letters /
+    digits / single punctuation — the same counter as ops.textstats
+    n_tokens_bpe)."""
+    tok = _hf_tokenizer()
+    if tok is not None:
+        return len(tok.encode(text).ids)
     return len(_TOKEN_RE.findall(text))
 
 

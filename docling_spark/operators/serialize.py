@@ -220,6 +220,108 @@ def html_sink(df):
 
 
 # ---------------------------------------------------------------------------
+# doctags sink (the reference serializer matrix's third format:
+# transforms/serializer/doctags.py — every item wrapped in its
+# DocumentToken (<title>, <section_header_level_N>, <text>, <footnote>,
+# <caption>, <picture>, <list_item> inside <unordered_list>), tables as
+# OTSL token streams (types/doc/tokens.py:9-25 — <ched> column header,
+# <fcel> full, <ecel> empty, <nl> row end; span-looking cells lcel/ucel/xcel
+# don't occur in our span model), document wrapped in <doctag>.)
+# ---------------------------------------------------------------------------
+
+_DOCTAG_HEADING = {
+    "title": "title",
+    "part": "section_header_level_1",
+    "section_header": "section_header_level_2",
+    "paragraph": "section_header_level_2",
+    "annex": "section_header_level_2",
+    "paragraph_title": "section_header_level_3",
+}
+
+
+def render_doctags(spans: List[Span]) -> str:
+    """One document's normalized spans → doctags token stream."""
+    out: List[str] = []
+    table_rows: List[List[str]] = []
+    table_idx: Optional[str] = None
+    in_list = False
+
+    def flush_list() -> None:
+        nonlocal in_list
+        if in_list:
+            out.append("</unordered_list>")
+            in_list = False
+
+    def flush_table() -> None:
+        nonlocal table_rows, table_idx
+        if not table_rows:
+            return
+        ncols = max(len(r) for r in table_rows)
+        toks: List[str] = []
+        for r, row in enumerate(table_rows):
+            cell_tok = "ched" if r == 0 else "fcel"
+            for c in range(ncols):
+                text = row[c] if c < len(row) else ""
+                toks.append(f"<{cell_tok}>{text}" if text else "<ecel>")
+            toks.append("<nl>")
+        out.append("<otsl>" + "".join(toks) + "</otsl>")
+        table_rows = []
+        table_idx = None
+
+    for kind, text, ref in spans:
+        if kind == "table_cell":
+            flush_list()
+            tid = (ref or "").split("/r")[0]
+            if table_idx is not None and tid != table_idx:
+                flush_table()
+            table_idx = tid
+            row_tag = (ref or "").rsplit("/r", 1)[-1]
+            r = int(row_tag.split("c")[0]) if "c" in row_tag else 0
+            while len(table_rows) <= r:
+                table_rows.append([])
+            table_rows[r].append((text or "").strip())
+            continue
+        flush_table()
+        if kind == "list_item":
+            if not in_list:
+                out.append("<unordered_list>")
+                in_list = True
+            out.append(f"<list_item>{text}</list_item>")
+            continue
+        flush_list()
+        if kind in _DOCTAG_HEADING:
+            tok = _DOCTAG_HEADING[kind]
+            out.append(f"<{tok}>{text}</{tok}>")
+        elif kind == "media":
+            out.append(f"<picture>{text}</picture>")
+        elif kind == "caption":
+            out.append(f"<caption>{text}</caption>")
+        elif kind == "footnote":
+            out.append(f"<footnote>{text}</footnote>")
+        else:  # text, odsek, pismeno, subitem, error — plain text items
+            out.append(f"<text>{text}</text>")
+    flush_table()
+    flush_list()
+    return "<doctag>" + "\n".join(out) + "</doctag>\n"
+
+
+def doctags_sink(df):
+    """normalized documents → (doc_id, doctags). Zero-shuffle mapInPandas."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rendered = [
+                render_doctags(
+                    [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)]
+                )
+                for spans in pdf["spans"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "doctags": rendered})
+
+    return df.mapInPandas(gen, schema="doc_id string, doctags string")
+
+
+# ---------------------------------------------------------------------------
 # law-level chunking (K5): one chunk per unit at the chosen level, with
 # parent headings as context
 # ---------------------------------------------------------------------------

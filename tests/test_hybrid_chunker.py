@@ -103,3 +103,17 @@ def test_count_tokens_matches_textstats_regex():
     # the counter must agree with ops.textstats n_tokens_bpe semantics
     assert count_tokens("abc 123 ,x.") == 5  # abc, 123, ',', 'x', '.'
     assert count_tokens("") == 0
+
+
+def test_tokenizer_hook_falls_back_to_regex(monkeypatch):
+    # with DOCLING_TOKENIZER set but no tokenizers wheel installed, the
+    # counter must silently fall back to the regex proxy (import-try gate)
+    import docling_spark.operators.hybrid_chunker as hc
+
+    monkeypatch.setattr(hc, "_HF_TOKENIZER", None)
+    monkeypatch.setattr(hc, "_HF_TRIED", False)
+    monkeypatch.setenv("DOCLING_TOKENIZER", "no-such-model")
+    assert hc.count_tokens("a b c") == 3
+    assert hc.count_tokens("x1!") == 3  # letters / digits / punct split
+    monkeypatch.setattr(hc, "_HF_TRIED", False)
+    monkeypatch.setattr(hc, "_HF_TOKENIZER", None)

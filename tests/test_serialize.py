@@ -186,3 +186,70 @@ def test_chunk_export_sink_spark(spark, corpus_path):
     assert out.filter("payload not like '{%'").count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_render_doctags():
+    from docling_spark.operators.serialize import render_doctags
+
+    spans = _SPANS + [("list_item", "bod", None)]
+    d = render_doctags(spans)
+    assert d.startswith("<doctag>")
+    assert d.rstrip().endswith("</doctag>")
+    assert "<title>Zákon č. 1/2020 Z. z.</title>" in d
+    assert "<section_header_level_1>PRVÁ ČASŤ</section_header_level_1>" in d
+    assert "<section_header_level_2>§ 1</section_header_level_2>" in d
+    assert "<section_header_level_3>Predmet</section_header_level_3>" in d
+    assert "<text>(1)</text>" in d
+    assert "<otsl><ched>A<ched>B<nl><fcel>1<fcel>2<nl></otsl>" in d
+    assert "<picture>obrázok</picture>" in d
+    assert "<footnote>1)</footnote>" in d
+    assert "<unordered_list>\n<list_item>bod</list_item>\n</unordered_list>" in d
+
+
+def test_doctags_goldens():
+    """Committed doctags fixtures; regen with
+        python -c "from tests.test_serialize import regen_doctags; regen_doctags()"
+    """
+    import glob
+    import json
+    import os
+
+    from docling_spark.operators.serialize import render_doctags
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    fixtures = sorted(glob.glob(os.path.join(gdir, "*.dt")))
+    assert fixtures, "no committed .dt goldens"
+    for path in fixtures:
+        doc_id = os.path.splitext(os.path.basename(path))[0]
+        with open(os.path.join(gdir, f"{doc_id}.json")) as f:
+            spans = [tuple(s) for s in json.load(f)]
+        with open(path) as f:
+            golden = f.read()
+        assert render_doctags(spans) == golden, f"doctags mismatch for {doc_id}"
+
+
+def test_doctags_sink_spark(spark, corpus_path):
+    from docling_spark.operators.serialize import doctags_sink
+    from docling_spark.pipeline import extract
+
+    out = doctags_sink(extract(spark.read.parquet(corpus_path)))
+    assert out.filter("doctags not like '<doctag>%'").count() == 0
+    assert out.count() == 60
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def regen_doctags():
+    import glob
+    import json
+    import os
+
+    from docling_spark.operators.serialize import render_doctags
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    for jpath in sorted(glob.glob(os.path.join(gdir, "*.json"))):
+        doc_id = os.path.splitext(os.path.basename(jpath))[0]
+        with open(jpath) as f:
+            spans = [tuple(s) for s in json.load(f)]
+        with open(os.path.join(gdir, f"{doc_id}.dt"), "w") as f:
+            f.write(render_doctags(spans))
