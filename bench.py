@@ -53,6 +53,13 @@ BENCH_QUERIES = [
     "signup_funnel",
     "json_props",
     "chunk_split",
+    "minhash_candidate_ratio",
+    "law_chunks",
+    "render_triplets",
+    "extract_full",
+    "html_sink",
+    "doctags_sink",
+    "hybrid_chunks",
 ]
 
 

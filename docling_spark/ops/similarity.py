@@ -95,11 +95,15 @@ def _centroid_df(spark, cents: np.ndarray) -> DataFrame:
 
 
 def _assign_cells(emb: DataFrame, n_cells: int, dim: int, seed: int,
-                  id_col: str, vec_col: str, top_n: int = 1) -> DataFrame:
+                  id_col: str, vec_col: str, top_n: int = 1,
+                  cents: DataFrame | None = None) -> DataFrame:
     """(vec_id, v, cell[, rn]) — rank centroids per vector by dot product
     (desc, cell asc tie-break) via a broadcast cross join of the tiny
-    centroid table; rn ≤ top_n kept."""
-    cents = _centroid_df(emb.sparkSession, _centroids(n_cells, dim, seed))
+    centroid table; rn ≤ top_n kept. Pass a prebuilt `cents` frame to share
+    one centroid relation across multiple assignment stages (one broadcast
+    build instead of two)."""
+    if cents is None:
+        cents = _centroid_df(emb.sparkSession, _centroids(n_cells, dim, seed))
     base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     scored = base.crossJoin(F.broadcast(cents)).withColumn("d", _dot("v", "c"))
     w = Window.partitionBy(id_col).orderBy(F.col("d").desc(), F.col("cell").asc())
@@ -127,13 +131,14 @@ def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
     candidates exactly. At scale the cell equi-join replaces the cross
     product (candidates ≈ n_probe/n_cells of the corpus), and the inverted
     lists are exactly a partitioning/bucketing key for the corpus table."""
-    corpus = _assign_cells(emb, n_cells, dim, seed, id_col, vec_col, top_n=1).select(
-        F.col(id_col), "v", "cell"
-    )
+    cents = _centroid_df(emb.sparkSession, _centroids(n_cells, dim, seed))
+    corpus = _assign_cells(
+        emb, n_cells, dim, seed, id_col, vec_col, top_n=1, cents=cents
+    ).select(F.col(id_col), "v", "cell")
     q_probed = (
         _assign_cells(
             emb.filter(F.col(id_col).isin(list(query_ids))),
-            n_cells, dim, seed, id_col, vec_col, top_n=n_probe,
+            n_cells, dim, seed, id_col, vec_col, top_n=n_probe, cents=cents,
         )
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("q"), "cell")
     )

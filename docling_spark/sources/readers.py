@@ -74,6 +74,31 @@ def read_documents(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.schema(DOC_SCHEMA).parquet(source)
 
 
+def write_documents(df: DataFrame, target: str, n_buckets: int = 64,
+                    mode: str = "append") -> None:
+    """Write a span table to an Iceberg catalog table name or a parquet path.
+
+    Iceberg side (production): `writeTo(...).append()` against a table whose
+    DDL declares `PARTITIONED BY (bucket(N, doc_id))` — the hash-bucket
+    layout of SURVEY §1.3 that makes the resume anti-join and doc_id point
+    lookups partition-prunable. Parquet side (sandbox fallback): an explicit
+    `bucket` column (xxhash64 % n_buckets, same keying as checkpoint.py's
+    ledger) used as the partition directory, giving the equivalent pruning
+    via hive-style partition discovery."""
+    if "/" not in target and target.count(".") >= 1:
+        df.writeTo(target).append()
+        return
+    (
+        df.withColumn(
+            "bucket",
+            (F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))).cast("int"),
+        )
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(target)
+    )
+
+
 def read_docling_json(df: DataFrame, json_col: str = "payload",
                       id_col: str = "doc_id") -> DataFrame:
     """(doc_id, payload json-string) → (doc_id, spans) via from_json +
