@@ -452,8 +452,8 @@ def q_ngram_jaccard(spark, sf_dir):
     # blocked self-join; exact integer outputs (intersection / union sizes)
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", "lang", F.expr(P.ngrams_spark("text", 3)).alias("sh")
-    )
+        "doc_id", "lang", F.expr(P.tokens_spark("text")).alias("_tk")
+    ).select("doc_id", "lang", F.expr(P.ngrams_from_tokens_spark("_tk", 3)).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
     uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("long")
@@ -612,8 +612,8 @@ def q_minhash_verified_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_band_pairs(docs)
     sh = docs.select(
-        F.col("doc_id"), F.expr(P.ngrams_spark("text", 3)).alias("sh")
-    )
+        F.col("doc_id"), F.expr(P.tokens_spark("text")).alias("_tk")
+    ).select("doc_id", F.expr(P.ngrams_from_tokens_spark("_tk", 3)).alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")

@@ -49,12 +49,20 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
                       n_hashes: int = MINHASH_N_HASHES,
                       shingle_n: int = MINHASH_SHINGLE_N) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}) portable minhash signature over word n-gram
-    shingles (shingle_n=1 degenerates to unigram token sets)."""
-    hashes = F.expr(P.shingle_hashes_spark(text_col, shingle_n))
-    out = docs.select(F.col(id_col), hashes.alias("_th"))
+    shingles (shingle_n=1 degenerates to unigram token sets).
+
+    Tokens → shingles → hashes are materialized as successive columns, NOT
+    nested expressions: Spark re-evaluates expressions embedded in lambda
+    bodies per array element (no CSE across lambda scope), which made the
+    nested form O(tokens²) per row — 10× wall on the sf0.1 corpus."""
+    out = (
+        docs.select(F.col(id_col), F.expr(P.tokens_spark(text_col)).alias("_tk"))
+        .withColumn("_sh", F.expr(P.ngrams_from_tokens_spark("_tk", shingle_n)))
+        .withColumn("_th", F.expr(f"transform(_sh, g -> {P.token_hash_spark('g')})"))
+    )
     for i in range(n_hashes):
         out = out.withColumn(f"mh_{i}", F.expr(P.minhash_spark("_th", i)).cast("long"))
-    return out.drop("_th")
+    return out.drop("_tk", "_sh", "_th")
 
 
 def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -67,8 +75,11 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
     bands of `band_size` rows: docs agreeing on ALL rows of any band become
     candidates — an equi-self-join on (band_id, band_key). Documents too
     short to yield a shingle are excluded up front (their null signature
-    would otherwise cross-match as an empty band key)."""
-    docs = docs.filter(F.size(F.expr(P.ngrams_spark(text_col, shingle_n))) > 0)
+    would otherwise cross-match as an empty band key); shingles exist iff
+    token count ≥ shingle_n, so the guard is a cheap size predicate."""
+    docs = docs.filter(
+        F.size(F.expr(P.tokens_spark(text_col))) >= F.lit(shingle_n)
+    )
     sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_n)
     n_bands = n_hashes // band_size
     band_cols = []
@@ -134,7 +145,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = docs.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        F.expr(P.ngrams_spark(text_col, n)).alias("shingles"),
+        F.expr(P.tokens_spark(text_col)).alias("_tk"),
+    ).select(
+        id_col,
+        *([block_col] if block_col else []),
+        F.expr(P.ngrams_from_tokens_spark("_tk", n)).alias("shingles"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

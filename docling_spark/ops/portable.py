@@ -107,10 +107,24 @@ def shingle_hashes_duck(col: str, n: int) -> str:
 
 # character n-gram (shingle) arrays for near-dup Jaccard
 def ngrams_spark(col: str, n: int) -> str:
-    # word n-grams: slide over tokens, join with single space
+    # word n-grams: slide over tokens, join with single space.
+    # NOTE (hot paths): `tokens_spark` appears inside the lambda body, and
+    # Spark does not common-subexpression-eliminate across lambda scopes —
+    # the split() re-evaluates PER SHINGLE, making this O(tokens²) per row.
+    # Fine for oracles/small projections; in operators, project the token
+    # array to a column first and use `ngrams_from_tokens_spark`.
     return (
         f"array_distinct(transform(sequence(1, greatest(size({tokens_spark(col)}) - {n - 1}, 0)), "
         f"i -> array_join(slice({tokens_spark(col)}, i, {n}), ' ')))"
+    )
+
+
+def ngrams_from_tokens_spark(toks_col: str, n: int) -> str:
+    """Same shingle construction over a pre-materialized token-array COLUMN —
+    the column reference is evaluated once per row, so this is O(tokens)."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({toks_col}, i, {n}), ' ')))"
     )
 
 
