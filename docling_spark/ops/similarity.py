@@ -33,16 +33,20 @@ def cosine_topk(emb: DataFrame, query_ids, k: int = 10,
 
     Returns (query_id, neighbor_id, cosine, rank) with deterministic
     tie-breaks (cosine desc, neighbor_id asc). Self-matches excluded."""
-    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    # norms precompute per ROW (not per pair): higher-order array functions
+    # fall back to interpreted evaluation, so each saved per-pair dot is ~1/3
+    # of the join's compute
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "vnorm", F.sqrt(_dot("v", "v"))
+    )
     queries = base.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+        F.col(id_col).alias("query_id"), F.col("v").alias("q"),
+        F.col("vnorm").alias("qnorm"),
     )
     joined = base.crossJoin(F.broadcast(queries)).filter(
         F.col(id_col) != F.col("query_id")
     )
-    cos = _dot("q", "v") / (
-        F.sqrt(_dot("q", "q")) * F.sqrt(_dot("v", "v"))
-    )
+    cos = _dot("q", "v") / (F.col("qnorm") * F.col("vnorm"))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
@@ -142,10 +146,12 @@ def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
         )
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("q"), "cell")
     )
+    corpus = corpus.withColumn("vnorm", F.sqrt(_dot("v", "v")))
+    q_probed = q_probed.withColumn("qnorm", F.sqrt(_dot("q", "q")))
     joined = corpus.join(
         F.broadcast(q_probed), corpus["cell"] == q_probed["cell"]
     ).filter(F.col(id_col) != F.col("query_id"))
-    cos = _dot("q", "v") / (F.sqrt(_dot("q", "q")) * F.sqrt(_dot("v", "v")))
+    cos = _dot("q", "v") / (F.col("qnorm") * F.col("vnorm"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -174,7 +180,11 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
     is (1 - θ/π)^bits, high precisely for near-duplicate (small-angle)
     pairs. Deterministic: seeded hyperplanes, id_a < id_b ordering."""
     sig = srp_signature(emb, bits, dim, seed, id_col, vec_col)
-    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).join(sig, id_col)
+    base = (
+        emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .withColumn("vnorm", F.sqrt(_dot("v", "v")))  # per row, pre-join
+        .join(sig, id_col)
+    )
     a, b = base.alias("a"), base.alias("b")
     joined = a.join(
         b,
@@ -183,10 +193,7 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.35,
     )
     cos = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-    ) / (
-        F.sqrt(F.expr("aggregate(zip_with(a.v, a.v, (x, y) -> x * y), 0D, (s, v) -> s + v)"))
-        * F.sqrt(F.expr("aggregate(zip_with(b.v, b.v, (x, y) -> x * y), 0D, (s, v) -> s + v)"))
-    )
+    ) / (F.col("a.vnorm") * F.col("b.vnorm"))
     return (
         joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -205,19 +212,22 @@ def ann_bucketed_topk(emb: DataFrame, query_ids, k: int = 10, bits: int = 8,
     The equi-join on bucket replaces the cross join of the exact path — at
     N vectors and 2^bits buckets the candidate set shrinks ~2^bits×."""
     sig = srp_signature(emb, bits, dim, seed, id_col, vec_col)
-    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).join(
-        sig, id_col
+    base = (
+        emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .withColumn("vnorm", F.sqrt(_dot("v", "v")))
+        .join(sig, id_col)
     )
     queries = base.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("q"),
+        F.col("vnorm").alias("qnorm"),
         F.col("bucket").alias("qbucket"),
     )
     joined = base.join(
         F.broadcast(queries),
         (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
     )
-    cos = _dot("q", "v") / (F.sqrt(_dot("q", "q")) * F.sqrt(_dot("v", "v")))
+    cos = _dot("q", "v") / (F.col("qnorm") * F.col("vnorm"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
