@@ -448,6 +448,22 @@ def q_minhash_candidate_ratio(spark, sf_dir):
     return minhash_candidate_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_minhash_dup_groups(spark, sf_dir):
+    # the dedup capstone: LSH candidates → exact-Jaccard verify → connected
+    # components → (doc_id, component_id); an iterative min-label propagation
+    # on Spark, a recursive transitive-closure CTE in the oracle
+    from docling_spark.ops.dedup import dup_components
+
+    verified = q_minhash_verified_pairs(spark, sf_dir).filter(
+        F.col("inter_size") * 5 >= F.col("union_size")
+    )
+    out = dup_components(verified)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # blocked self-join; exact integer outputs (intersection / union sizes)
     docs = _t(spark, sf_dir, "documents")
@@ -941,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_candidate_ratio": q_minhash_candidate_ratio,
+        "minhash_dup_groups": q_minhash_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1075,6 +1092,37 @@ def _duck_minhash_verified_sql() -> str:
         FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
         WHERE len(list_intersect(a.sh, b.sh)) * 5
               >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+    """
+
+
+def _duck_dup_groups_sql() -> str:
+    """CC oracle: transitive closure by recursive CTE over the verified-pair
+    edge list, component = min reachable id (incl. self)."""
+    cte, match = _duck_minhash_keyed_cte()
+    return f"""
+        WITH RECURSIVE {cte},
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id AND ({match})),
+        sh AS (SELECT doc_id, {P.ngrams_duck('text', 3)} AS sh FROM documents),
+        verified AS (
+          SELECT id_a, id_b
+          FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+          WHERE len(list_intersect(a.sh, b.sh)) * 5
+                >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM verified
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT CAST(src AS BIGINT) AS doc_id,
+               CAST(least(src, min(dst)) AS BIGINT) AS component_id
+        FROM reach GROUP BY src
     """
 
 
@@ -1654,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_verified_pairs": _duck_minhash_verified_sql(),
         "minhash_candidate_ratio": _duck_minhash_ratio_sql(),
+        "minhash_dup_groups": _duck_dup_groups_sql(),
         "reference_extract": """
             WITH m AS (SELECT doc_id,
                               regexp_extract_all(text, '(table|join|window)', 1) AS refs

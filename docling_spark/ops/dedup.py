@@ -133,6 +133,64 @@ def minhash_candidate_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dup_components(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
+    """Connected components over a duplicate-pair edge list →
+    (doc_id, component_id) where component_id = min doc_id in the group.
+
+    Iterative min-label propagation: each node repeatedly adopts the
+    smallest label among itself and its neighbours until a fixpoint — the
+    standard Spark CC loop (HashToMin family; converges in O(diameter)
+    rounds, and near-dup graphs are unions of small cliques, so 2-3 rounds
+    in practice). Per round: one grouped min over the undirected edge list
+    joined to current labels — all hash shuffles on node id. At larger
+    diameters switch to the large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same join primitives. localCheckpoint truncates the lineage
+    so the loop's plan doesn't grow per iteration."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        # eager checkpoint: edges are re-joined every round — without this
+        # the upstream pair-mining pipeline re-executes per iteration
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.0,

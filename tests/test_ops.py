@@ -248,3 +248,14 @@ def test_multimodal_audio_and_resize(spark):
     assert sorted(map(str, thumbs)) == sorted(map(str, thumbs2))
     plan = image_resize(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dup_components(spark):
+    from docling_spark.ops.dedup import dup_components
+
+    # two components {1,2,3} (chain) and {7,9}; 5 is isolated (no edges)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["component_id"] for r in dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
