@@ -464,6 +464,22 @@ def q_minhash_dup_groups(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition signals as exact integers
+    from docling_spark.ops.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_neardup(spark, sf_dir):
+    # simhash hamming-≤k pair search via pigeonhole block join (no all-pairs)
+    from docling_spark.ops.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # blocked self-join; exact integer outputs (intersection / union sizes)
     docs = _t(spark, sf_dir, "documents")
@@ -958,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_candidate_ratio": q_minhash_candidate_ratio,
         "minhash_dup_groups": q_minhash_dup_groups,
+        "repetition_stats": q_repetition_stats,
+        "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1092,6 +1110,62 @@ def _duck_minhash_verified_sql() -> str:
         FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
         WHERE len(list_intersect(a.sh, b.sh)) * 5
               >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+    """
+
+
+def _duck_repetition_sql() -> str:
+    toks = P.tokens_duck("text")
+    bigrams = P.ngrams_all_from_tokens_duck("tk", 2)
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        u AS (SELECT doc_id, unnest(tk) AS g FROM t),
+        uc AS (SELECT doc_id, g, count(*) AS c FROM u GROUP BY 1, 2),
+        ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(max(c) AS BIGINT) AS top_token_count
+               FROM uc GROUP BY 1),
+        b AS (SELECT doc_id, unnest({bigrams}) AS g FROM t),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+        ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                      CAST(max(c) AS BIGINT) AS top_bigram_count
+               FROM bc GROUP BY 1)
+        SELECT ua.doc_id, ua.n_tokens, ua.top_token_count,
+               coalesce(ba.n_bigrams, 0) AS n_bigrams,
+               coalesce(ba.top_bigram_count, 0) AS top_bigram_count
+        FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+    """
+
+
+def _duck_simhash_neardup_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    th = P.token_hashes_duck("text")
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform(th, h -> CASE WHEN (h // {1 << j}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
+    total = " + ".join(terms)
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    block_rows = []
+    for b in range(n_blocks):
+        lo = b * width
+        w = width if b < n_blocks - 1 else bits - lo
+        block_rows.append(
+            f"SELECT doc_id, simhash, {b} AS block_id, "
+            f"(simhash // {1 << lo}) % {1 << w} AS block_val FROM sig"
+        )
+    blocks = " UNION ALL ".join(block_rows)
+    return f"""
+        WITH t AS (SELECT doc_id, {th} AS th FROM documents),
+        sig AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t),
+        keyed AS ({blocks})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM keyed a JOIN keyed b
+          ON a.block_id = b.block_id AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 
 
@@ -1703,6 +1777,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": _duck_minhash_verified_sql(),
         "minhash_candidate_ratio": _duck_minhash_ratio_sql(),
         "minhash_dup_groups": _duck_dup_groups_sql(),
+        "repetition_stats": _duck_repetition_sql(),
+        "simhash_neardup": _duck_simhash_neardup_sql(),
         "reference_extract": """
             WITH m AS (SELECT doc_id,
                               regexp_extract_all(text, '(table|join|window)', 1) AS refs

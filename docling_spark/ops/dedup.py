@@ -133,6 +133,50 @@ def minhash_candidate_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", bits: int = 32,
+                          max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with simhash hamming distance ≤
+    `max_hamming`, found WITHOUT an all-pairs compare.
+
+    Pigeonhole blocking (the Manku/Jain/Sarma WWW'07 construction): split
+    the `bits`-bit fingerprint into `max_hamming + 1` contiguous blocks —
+    any pair within distance k agrees on ≥1 whole block — explode per
+    block, equi-join on (block_id, block_value), verify exact hamming via
+    bit_count(xor). The block join is the same shuffle shape as the
+    minhash band join; candidates ≈ N²/2^(bits/(k+1)) per block at random."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    sig = simhash(docs, id_col, text_col, bits)
+    blocks = []
+    for b in range(n_blocks):
+        lo = b * width
+        w = width if b < n_blocks - 1 else bits - lo  # last takes remainder
+        val = F.expr(f"(simhash div {1 << lo}) % {1 << w}")
+        blocks.append(F.struct(F.lit(b).alias("block_id"), val.alias("block_val")))
+    keyed = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*blocks)).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def dup_components(pairs: DataFrame, id_a: str = "id_a",
                    id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
     """Connected components over a duplicate-pair edge list →

@@ -119,6 +119,22 @@ def ngrams_spark(col: str, n: int) -> str:
     )
 
 
+def ngrams_all_from_tokens_spark(toks_col: str, n: int) -> str:
+    """Non-deduplicated n-gram list over a token-array column — for
+    frequency/repetition statistics (the distinct form is for set Jaccard)."""
+    return (
+        f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({toks_col}, i, {n}), ' '))"
+    )
+
+
+def ngrams_all_from_tokens_duck(toks_col: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({toks_col}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks_col}, i, i + {n - 1}), ' '))"
+    )
+
+
 def ngrams_from_tokens_spark(toks_col: str, n: int) -> str:
     """Same shingle construction over a pre-materialized token-array COLUMN —
     the column reference is evaluated once per row, so this is O(tokens)."""

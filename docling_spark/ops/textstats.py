@@ -139,6 +139,48 @@ def curation_pipeline(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, top_token_count, n_bigrams, top_bigram_count) —
+    the Gopher-style repetition signals (most-frequent-word fraction,
+    most-frequent-2-gram fraction) as exact integers; callers derive ratios.
+
+    Shape at scale: explode → partial+final hash agg keyed (doc_id, gram) →
+    per-doc max/sum. Both aggregations map-side combine, so the shuffle
+    carries one row per distinct gram per doc, never the token stream."""
+    toks = docs.select(
+        F.col(id_col), F.expr(P.tokens_spark(text_col)).alias("_tk")
+    )
+    uni = (
+        toks.select(id_col, F.explode("_tk").alias("g"))
+        .groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.max("c").cast("long").alias("top_token_count"),
+        )
+    )
+    bi = (
+        toks.select(
+            id_col,
+            F.explode(F.expr(P.ngrams_all_from_tokens_spark("_tk", 2))).alias("g"),
+        )
+        .groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_count"),
+        )
+    )
+    return uni.join(bi, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "top_token_count",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long").alias("top_bigram_count"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) — order-sensitive rolling hash over token hashes
     (portable across engines; see ops.portable)."""

@@ -259,3 +259,27 @@ def test_dup_components(spark):
     )
     got = {r["doc_id"]: r["component_id"] for r in dup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_repetition_stats(spark):
+    from docling_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "go go go go")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["top_token_count"] == 3
+    assert got[1]["n_bigrams"] == 3 and got[1]["top_bigram_count"] == 2  # 'a a'
+    assert got[2]["top_token_count"] == 1 and got[2]["top_bigram_count"] == 1
+    assert got[3]["top_token_count"] == 4 and got[3]["top_bigram_count"] == 3
+
+
+def test_simhash_neardup_pairs(docs):
+    from docling_spark.ops.dedup import simhash_neardup_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    assert got[(1, 2)] == 0          # exact dups: identical fingerprint
+    assert all(h <= 3 for h in got.values())
+    assert (1, 5) not in got         # unrelated docs stay apart
