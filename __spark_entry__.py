@@ -536,6 +536,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    # IVF with a TRAINED coarse quantizer (driver-side sampled Lloyd k-means
+    # → broadcast) — the production form; plan shape identical to the
+    # seeded-centroid variant
+    from docling_spark.ops.similarity import ann_ivf_topk, train_centroids_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids_kmeans(emb, n_cells=8, dim=64, iters=10, seed=11)
+    out = ann_ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=8,
+                       n_probe=2, centroids=cents)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cosine_e6"),
+        "rank",
+    )
+
+
 def q_ivf_cells(spark, sf_dir):
     return ivf_assign(_t(spark, sf_dir, "embeddings"), n_cells=8, dim=64, seed=11)
 
@@ -982,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ivf_cells": q_ivf_cells,
         "chunk_split": q_chunk_split,
         "local_supplier_volume": q_local_supplier_volume,
@@ -1291,16 +1310,41 @@ def _duck_neardup_sql() -> str:
     """
 
 
-def _duck_ivf_cents(n_cells: int = 8, dim: int = 64, seed: int = 11) -> str:
-    """VALUES table of the same unit-norm seeded centroids as the Spark side."""
-    from docling_spark.ops.similarity import _centroids
-
-    cents = _centroids(n_cells, dim, seed)
+def _duck_cents_values(cents) -> str:
+    """VALUES CTE of a centroid array (unit-norm, Python-computed — the same
+    literals the Spark side broadcasts)."""
     rows = ", ".join(
         f"({i}, [" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
         for i, c in enumerate(cents)
     )
     return f"cents(cell, c) AS (VALUES {rows})"
+
+
+def _duck_ivf_cents(n_cells: int = 8, dim: int = 64, seed: int = 11) -> str:
+    """VALUES table of the same unit-norm seeded centroids as the Spark side."""
+    from docling_spark.ops.similarity import _centroids
+
+    return _duck_cents_values(_centroids(n_cells, dim, seed))
+
+
+def _kmeans_cents_for_oracle(n_cells: int = 8, iters: int = 10,
+                             sample_n: int = 10_000, seed: int = 11):
+    """Train the SAME k-means quantizer the Spark query trains, from the
+    same sample (embeddings ordered by vec_id, first sample_n, float→double
+    widening is exact) — centroids are parameters of the query, like the
+    seeded SRP hyperplanes; the oracle then verifies the distributed
+    assign/probe/rank math."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_spark.ops.similarity import kmeans_lloyd
+
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["vec_id"])[:sample_n]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return kmeans_lloyd(X, n_cells, iters, seed)
 
 
 def _duck_ivf_assign_sql() -> str:
@@ -1317,13 +1361,13 @@ def _duck_ivf_assign_sql() -> str:
     """
 
 
-def _duck_ivf_topk_sql() -> str:
+def _duck_ivf_topk_sql(cents_cte: str | None = None) -> str:
     dot_vc = _duck_dot("v", "c")
     dot_qv = _duck_dot("p.q", "cor.v")
     dot_qq = _duck_dot("p.q", "p.q")
     dot_vv = _duck_dot("cor.v", "cor.v")
     return f"""
-        WITH {_duck_ivf_cents()},
+        WITH {cents_cte or _duck_ivf_cents()},
         base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         assign AS (
           SELECT vec_id, v, cell,
@@ -1804,6 +1848,9 @@ def oracle_sql() -> dict[str, str]:
         "law_chunks": _duck_law_chunks_sql(),
         "render_triplets": _duck_triplets_sql(),
         "ann_ivf_topk": _duck_ivf_topk_sql(),
+        "ann_ivf_kmeans_topk": _duck_ivf_topk_sql(
+            _duck_cents_values(_kmeans_cents_for_oracle())
+        ),
         "ivf_cells": _duck_ivf_assign_sql(),
         "grid_densify": """
             WITH cells(row, col, row_span, col_span, text) AS (

@@ -90,6 +90,49 @@ def _centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_centroids_kmeans(emb: DataFrame, n_cells: int = 8, dim: int = 64,
+                           iters: int = 10, sample_n: int = 10_000,
+                           seed: int = 11, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer: collect a bounded
+    sample to the driver (ORDER BY id → reproducible), run `iters` Lloyd
+    rounds in numpy (assign by dot with unit-norm centroids, recenter,
+    renormalize; empty cells re-seeded from the sample deterministically),
+    return unit-norm centroids for broadcast.
+
+    Scale note: the collect is capped at `sample_n` rows — centroid
+    training needs a sample, not the corpus (FAISS trains IVF quantizers on
+    ~100k-1M vectors regardless of corpus size). Everything downstream
+    (assign/probe) stays a distributed broadcast join."""
+    rows = (
+        emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    return kmeans_lloyd(X, n_cells, iters, seed)
+
+
+def kmeans_lloyd(X: np.ndarray, n_cells: int, iters: int, seed: int) -> np.ndarray:
+    """The shared deterministic Lloyd loop (pure numpy) — also used by the
+    DuckDB oracle builder so both engines probe identical centroids."""
+    X = X.astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # deterministic re-seed for an empty cell
+                cents[c] = X[rng.randint(len(X))]
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
 def _centroid_df(spark, cents: np.ndarray) -> DataFrame:
     """Centroids as a tiny broadcastable DataFrame (cell, c) — data, not
     code: inlining them as column-expression literals blows the whole-stage
@@ -129,13 +172,17 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8, dim: int = 64, seed: int = 11,
 
 def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
                  n_probe: int = 2, dim: int = 64, seed: int = 11,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 centroids: "np.ndarray | None" = None) -> DataFrame:
     """Approximate top-k via IVF: corpus vectors live in their nearest-
     centroid cell; each query probes its `n_probe` nearest cells and ranks
     candidates exactly. At scale the cell equi-join replaces the cross
     product (candidates ≈ n_probe/n_cells of the corpus), and the inverted
     lists are exactly a partitioning/bucketing key for the corpus table."""
-    cents = _centroid_df(emb.sparkSession, _centroids(n_cells, dim, seed))
+    cents = _centroid_df(
+        emb.sparkSession,
+        _centroids(n_cells, dim, seed) if centroids is None else centroids,
+    )
     corpus = _assign_cells(
         emb, n_cells, dim, seed, id_col, vec_col, top_n=1, cents=cents
     ).select(F.col(id_col), "v", "cell")

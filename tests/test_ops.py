@@ -283,3 +283,19 @@ def test_simhash_neardup_pairs(docs):
     assert got[(1, 2)] == 0          # exact dups: identical fingerprint
     assert all(h <= 3 for h in got.values())
     assert (1, 5) not in got         # unrelated docs stay apart
+
+
+def test_ann_ivf_kmeans(emb):
+    import numpy as np
+
+    from docling_spark.ops.similarity import ann_ivf_topk, train_centroids_kmeans
+
+    cents = train_centroids_kmeans(emb, n_cells=4, dim=8, iters=5, seed=11)
+    assert cents.shape == (4, 8)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    # deterministic: same seed → same centroids
+    again = train_centroids_kmeans(emb, n_cells=4, dim=8, iters=5, seed=11)
+    assert np.array_equal(cents, again)
+    out = ann_ivf_topk(emb, query_ids=[0], k=3, n_cells=4, n_probe=2,
+                       dim=8, seed=11, centroids=cents).collect()
+    assert out and out[0]["neighbor_id"] == 1  # planted neighbor found

@@ -97,3 +97,18 @@ def test_scan_prunes_columns(spark):
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "l_extendedprice" not in scan[0]
     assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+
+def test_simhash_neardup_plan_is_equi_join(docs):
+    from docling_spark.ops.dedup import simhash_neardup_pairs
+
+    plan = simhash_neardup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_components_plan_has_no_cartesian(spark):
+    from docling_spark.ops.dedup import dup_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    plan = dup_components(pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
