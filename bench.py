@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "json_props",
     "chunk_split",
     "minhash_candidate_ratio",
+    "minhash_dup_groups",
+    "simhash_neardup",
+    "repetition_stats",
+    "ann_ivf_kmeans_topk",
     "law_chunks",
     "render_triplets",
     "extract_full",

@@ -264,3 +264,56 @@ def test_pdf_normalize_never_raises_fuzz():
             assert k in NORMALIZED_KINDS, (k, t)
 
     run()
+
+
+# --- serializers never crash and respect structural invariants ---------------
+
+_KINDS = st.sampled_from(
+    ["title", "part", "paragraph", "paragraph_title", "section_header",
+     "odsek", "pismeno", "subitem", "text", "list_item", "caption",
+     "footnote", "annex", "media", "table_cell", "error"]
+)
+_SPAN = st.tuples(
+    _KINDS,
+    st.text(max_size=60),
+    st.one_of(st.none(), st.just("#/tables/0/r0c0"), st.just("#/tables/0/r1c1"),
+              st.just("#paragraf-1"), st.text(alphabet="abc#/r0c1", max_size=12)),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_SPAN, max_size=40))
+def test_serializers_total_on_arbitrary_streams(spans):
+    from docling_spark.operators.serialize import (
+        render_doctags,
+        render_html,
+        render_markdown,
+    )
+
+    md = render_markdown(spans)
+    h = render_html(spans)
+    d = render_doctags(spans)
+    assert isinstance(md, str) and isinstance(h, str) and isinstance(d, str)
+    assert d.startswith("<doctag>") and d.rstrip().endswith("</doctag>")
+    # html escaping: raw text '<' never leaks into html output unescaped
+    # (every '<' in output starts one of our emitted tags)
+    import re
+
+    for frag in re.split(r"<[^>]*>", h):
+        assert "<" not in frag
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_SPAN, max_size=40), st.integers(min_value=4, max_value=64))
+def test_hybrid_chunker_budget_invariant_on_arbitrary_streams(spans, budget):
+    from docling_spark.operators.hybrid_chunker import (
+        count_tokens,
+        hybrid_chunk_document,
+    )
+
+    chunks = hybrid_chunk_document("d", spans, max_tokens=budget)
+    for (_d, _no, _cid, content, headings, n_tokens, _units) in chunks:
+        # a chunk over budget is only legal when it is a single unsplittable
+        # word (emitted alone by the K3 fallback)
+        if n_tokens > budget:
+            assert len(content.split()) == 1

@@ -179,3 +179,41 @@ def test_write_documents_bucketed_roundtrip(spark, corpus_path, tmp_path):
     one = back.filter("bucket = 3")
     assert "PartitionFilters: [isnotnull(bucket" in one._jdf.queryExecution().executedPlan().toString() \
         or one.count() >= 0  # plan text varies by version; correctness is the count
+
+
+def test_streaming_serializer_composition(spark, corpus_path, tmp_path):
+    """The serializer sinks compose onto the streaming source unchanged
+    (mapInPandas is streaming-safe): readStream → extract → markdown_sink
+    in availableNow mode must equal the batch result row-for-row."""
+    from docling_spark.operators.serialize import markdown_sink
+    from docling_spark.pipeline import extract
+    from docling_spark.schema import DOC_SCHEMA
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.read.parquet(corpus_path).repartition(4).write.parquet(in_dir, mode="overwrite")
+
+    src = spark.readStream.schema(DOC_SCHEMA).parquet(in_dir)
+    out_dir = str(tmp_path / "md_out")
+    ckpt = str(tmp_path / "md_ckpt")
+    q = (
+        markdown_sink(extract(src))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = markdown_sink(extract(spark.read.parquet(in_dir)))
+    assert streamed.count() == 60
+    diff = (
+        streamed.withColumnRenamed("markdown", "a")
+        .join(batch.withColumnRenamed("markdown", "b"), "doc_id")
+        .filter("a != b")
+        .count()
+    )
+    assert diff == 0
