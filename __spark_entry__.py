@@ -942,14 +942,15 @@ def q_render_triplets(spark, sf_dir):
     )
 
 
-def x_hybrid_chunks(spark, sf_dir):
-    # K2/K3/K4: token-budget hybrid chunker (pack / split / merge-peers)
+def q_hybrid_chunks(spark, sf_dir):
+    # K2/K3/K4: token-budget hybrid chunker (pack / split / merge-peers),
+    # oracle-checked — DuckDB reproduces all three folds over the same
+    # normalized parquet
     from docling_spark.operators.hybrid_chunker import hybrid_chunk_sink
-    from docling_spark.pipeline import extract
 
     _ensure_workers(spark)
-    docs = spark.read.parquet(_corpus_path(sf_dir))
-    out = hybrid_chunk_sink(extract(docs), max_tokens=64)
+    norm = spark.read.parquet(_normalized_path(sf_dir))
+    out = hybrid_chunk_sink(norm, max_tokens=64)
     return out.select(
         "doc_id",
         F.col("chunk_no").cast("long").alias("chunk_no"),
@@ -1026,7 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_triplets": q_render_triplets,
         "chunk_export_rag": x_chunk_export_rag,
         "doctags_sink": x_doctags_sink,
-        "hybrid_chunks": x_hybrid_chunks,
+        "hybrid_chunks": q_hybrid_chunks,
     }
 
 
@@ -1425,21 +1426,18 @@ def _duck_join_tokens_sql() -> str:
     """
 
 
-def _duck_law_chunks_sql() -> str:
-    """S8/K5 oracle: the law-level chunker (serialize.chunk_document,
-    level='odsek') re-expressed in SQL over the SAME normalized parquet the
-    Spark query reads. Segmentation + content are window/group ops; the
+def _duck_chunk_folded_cte(path: str) -> str:
+    """Shared CTE chain for the chunker oracles: normalized parquet →
+    per-chunk rows `folded(doc_id, seg, seg_kind, seg_text, seg_ref, seg_o,
+    content, stack)`. Segmentation + content are window/group ops; the
     heading stack is a list_reduce fold with ops encoded as [tag, text]
     VARCHAR[] pairs (a struct accumulator miscompiles in DuckDB 1.0)."""
-    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    path = _normalized_path(sf_dir)
     fold = """(acc, s) -> CASE s[1]
         WHEN 'T' THEN [s[2]]
         WHEN 'P' THEN list_concat(list_slice(acc, 1, 1), [s[2]])
         WHEN 'R' THEN list_concat(list_slice(acc, 1, 2), [s[2]])
         ELSE list_concat(acc, [s[2]]) END"""
-    return f"""
-        WITH raw AS (
+    return f"""raw AS (
           SELECT doc_id, unnest(spans) AS s FROM read_parquet('{path}')
         ),
         e AS (
@@ -1498,7 +1496,17 @@ def _duck_law_chunks_sql() -> str:
           LEFT JOIN ops o2 ON o2.doc_id = ch.doc_id AND o2.o < ch.seg_o
           GROUP BY ch.doc_id, ch.seg, ch.seg_kind, ch.seg_text, ch.seg_ref,
                    ch.seg_o
-        )
+        )"""
+
+
+def _duck_law_chunks_sql() -> str:
+    """S8/K5 oracle: the law-level chunker (serialize.chunk_document,
+    level='odsek') re-expressed in SQL over the SAME normalized parquet the
+    Spark query reads."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        WITH {_duck_chunk_folded_cte(path)}
         SELECT doc_id,
                doc_id || '/' || ltrim(coalesce(seg_ref, seg_text), '#') AS chunk_id,
                seg_kind AS level,
@@ -1506,6 +1514,134 @@ def _duck_law_chunks_sql() -> str:
                coalesce(array_to_string(stack, '|'), '') AS headings,
                CAST(length(content) AS BIGINT) AS content_length
         FROM folded
+    """
+
+
+_DUCK_TOK_CT = "len(regexp_extract_all({}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+
+
+def _duck_hybrid_chunks_sql(max_tokens: int = 64) -> str:
+    """K2/K3/K4 oracle: the token-budget hybrid chunker reproduced in SQL
+    over the same normalized parquet. Three nested list_reduce folds mirror
+    the Python exactly (all elements wrapped as single-item VARCHAR[] so
+    accumulator and element types unify): K2 greedy line packing with a
+    done-pieces/chr(0)/current-buffer list encoding, K3 word splitting for
+    over-budget lines (nested fold), K4 adjacent same-headings merging over
+    rows encoded as chr(2)-delimited strings. Token counts are additive
+    across whitespace (the token regex never crosses it), which is what
+    makes the budget arithmetic fold-able."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    ct = _DUCK_TOK_CT.format
+
+    def finish(listexpr: str, joiner_sql: str) -> str:
+        # done ++ [join(cur)] if cur else done, for acc = done ++ [chr(0)] ++ cur
+        return (
+            f"(CASE WHEN len(list_slice({listexpr}, array_position({listexpr}, chr(0)) + 1, len({listexpr}))) > 0 "
+            f"THEN list_concat(list_slice({listexpr}, 1, array_position({listexpr}, chr(0)) - 1), "
+            f"[array_to_string(list_slice({listexpr}, array_position({listexpr}, chr(0)) + 1, len({listexpr})), {joiner_sql})]) "
+            f"ELSE list_slice({listexpr}, 1, array_position({listexpr}, chr(0)) - 1) END)"
+        )
+
+    cur_ws = "array_to_string(list_slice(acc, array_position(acc, chr(0)) + 1, len(acc)), ' ')"
+    word_fold = f"""
+list_reduce(
+  list_prepend([chr(0)],
+    list_transform(list_filter(regexp_split_to_array(s[1], '\\s+'), w -> w <> ''), w -> [w])),
+  (acc, s) -> CASE
+     WHEN len(list_slice(acc, array_position(acc, chr(0)) + 1, len(acc))) > 0
+          AND {ct(cur_ws)} + {ct('s[1]')} > budget
+     THEN list_concat(list_concat(
+            list_slice(acc, 1, array_position(acc, chr(0)) - 1),
+            [array_to_string(list_slice(acc, array_position(acc, chr(0)) + 1, len(acc)), ' ')]),
+            list_concat([chr(0)], [s[1]]))
+     ELSE list_concat(acc, [s[1]])
+  END)"""
+    word_pieces = finish(word_fold, "' '")
+    cur_nl = "array_to_string(list_slice(acc, array_position(acc, chr(0)) + 1, len(acc)), chr(10))"
+    line_fold = f"""
+list_reduce(
+  list_prepend([chr(0)],
+    list_transform(string_split(content, chr(10)), l -> [l])),
+  (acc, s) -> CASE
+     WHEN {ct('s[1]')} > budget
+     THEN list_concat(list_concat({finish('acc', 'chr(10)')}, {word_pieces}), [chr(0)])
+     WHEN len(list_slice(acc, array_position(acc, chr(0)) + 1, len(acc))) > 0
+          AND {ct(cur_nl)} + {ct('s[1]')} > budget
+     THEN list_concat({finish('acc', 'chr(10)')}, [chr(0), s[1]])
+     ELSE list_concat(acc, [s[1]])
+  END)"""
+    pieces_expr = finish(line_fold, "chr(10)")
+    last = "string_split(acc[len(acc)], chr(2))"
+    cur = "string_split(s[1], chr(2))"
+    merge_step = f"""
+  (acc, s) -> CASE
+    WHEN len(acc) = 0 THEN [s[1]]
+    WHEN {last}[1] = {cur}[1]
+         AND {ct(last + '[3]')} + {ct(cur + '[3]')}
+             + CAST({last}[2] AS BIGINT) <= {max_tokens}
+    THEN list_concat(
+           list_slice(acc, 1, len(acc) - 1),
+           [{last}[1] || chr(2) || {last}[2] || chr(2)
+            || {last}[3] || chr(10) || {cur}[3] || chr(2)
+            || {last}[4] || chr(2)
+            || CAST(CAST({last}[5] AS BIGINT) + CAST({cur}[5] AS BIGINT) AS VARCHAR)])
+    ELSE list_concat(acc, [s[1]])
+  END"""
+    return f"""
+        WITH {_duck_chunk_folded_cte(path)},
+        base AS (
+          SELECT doc_id, seg,
+                 doc_id || '/' || ltrim(coalesce(seg_ref, seg_text), '#') AS chunk_id,
+                 content, coalesce(stack, CAST([] AS VARCHAR[])) AS stack,
+                 CAST({ct('content')} AS BIGINT) AS ct_content,
+                 CAST(coalesce(list_sum(list_transform(
+                      coalesce(stack, CAST([] AS VARCHAR[])),
+                      h -> CAST({ct('h')} AS BIGINT))), 0) AS BIGINT) AS hlen
+          FROM folded),
+        over_pieces AS (
+          SELECT *, CASE WHEN len(p0) = 0 THEN [''] ELSE p0 END AS pieces
+          FROM (
+            SELECT *, {pieces_expr} AS p0
+            FROM (SELECT *, CASE WHEN hlen >= {max_tokens} THEN {max_tokens}
+                       ELSE {max_tokens} - hlen END AS budget
+                  FROM base WHERE ct_content + hlen > {max_tokens})
+          )),
+        pre AS (
+          SELECT doc_id, seg, 0 AS pidx, chunk_id, content, stack, hlen
+          FROM base WHERE ct_content + hlen <= {max_tokens}
+          UNION ALL
+          SELECT doc_id, seg, CAST(i - 1 AS BIGINT) AS pidx,
+                 chunk_id || '/s' || CAST(i - 1 AS VARCHAR) AS chunk_id,
+                 pieces[CAST(i AS BIGINT)] AS content,
+                 CASE WHEN hlen >= {max_tokens} THEN CAST([] AS VARCHAR[]) ELSE stack END AS stack,
+                 CASE WHEN hlen >= {max_tokens} THEN 0 ELSE hlen END AS hlen
+          FROM over_pieces, unnest(range(1, len(pieces) + 1)) t(i)),
+        enc AS (
+          SELECT doc_id, seg, pidx,
+                 coalesce(array_to_string(stack, chr(1)), '') || chr(2)
+                 || CAST(hlen AS VARCHAR) || chr(2)
+                 || content || chr(2)
+                 || chunk_id || chr(2) || '1' AS row_enc
+          FROM pre),
+        merged AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]),
+                     list([row_enc] ORDER BY seg, pidx)),
+                   {merge_step}) AS rows
+          FROM enc GROUP BY doc_id),
+        flat AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_no,
+                 string_split(rows[CAST(i AS BIGINT)], chr(2)) AS parts
+          FROM merged, unnest(range(1, len(rows) + 1)) t(i))
+        SELECT doc_id, chunk_no,
+               parts[4] AS chunk_id,
+               parts[3] AS content,
+               replace(parts[1], chr(1), '|') AS headings,
+               CAST({ct('parts[3]')} + CAST(parts[2] AS BIGINT) AS BIGINT) AS n_tokens,
+               CAST(parts[5] AS BIGINT) AS n_source_units
+        FROM flat
     """
 
 
@@ -1846,6 +1982,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "law_chunks": _duck_law_chunks_sql(),
+        "hybrid_chunks": _duck_hybrid_chunks_sql(),
         "render_triplets": _duck_triplets_sql(),
         "ann_ivf_topk": _duck_ivf_topk_sql(),
         "ann_ivf_kmeans_topk": _duck_ivf_topk_sql(
