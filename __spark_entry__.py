@@ -793,14 +793,13 @@ def x_extract_normalized(spark, sf_dir):
     )
 
 
-def x_extract_kind_histogram(spark, sf_dir):
-    from docling_spark.pipeline import extract
-
+def q_extract_kind_histogram(spark, sf_dir):
+    # S9 metrics rollup over the shared normalized parquet (oracle-checked;
+    # the extraction itself stays covered by extract_normalized + goldens)
     _ensure_workers(spark)
-    docs = spark.read.parquet(_corpus_path(sf_dir))
+    norm = spark.read.parquet(_normalized_path(sf_dir))
     return (
-        extract(docs)
-        .select(F.explode("spans").alias("s"))
+        norm.select(F.explode("spans").alias("s"))
         .groupBy(F.col("s.kind").alias("kind"))
         .agg(F.count("*").cast("long").alias("n_spans"))
     )
@@ -827,24 +826,22 @@ def x_multimodal_frame_sample(spark, sf_dir):
     return frame_sample(synth_media_df(spark, n=32, seed=13), every_n=10)
 
 
-def x_markdown_sink(spark, sf_dir):
+def q_markdown_sink(spark, sf_dir):
+    # S7 oracle-checked: render over the shared normalized parquet so DuckDB
+    # can reproduce the rendering byte-for-byte
     from docling_spark.operators.serialize import markdown_sink
-    from docling_spark.pipeline import extract
 
     _ensure_workers(spark)
-    docs = spark.read.parquet(_corpus_path(sf_dir))
-    return markdown_sink(extract(docs))
+    return markdown_sink(spark.read.parquet(_normalized_path(sf_dir)))
 
 
-def x_html_sink(spark, sf_dir):
-    # S7-sibling HTML serializer (reference serializer/html.py semantics at
-    # span granularity); rows-only — goldens pin the exact strings
+def q_html_sink(spark, sf_dir):
+    # S7b oracle-checked HTML serializer (reference serializer/html.py
+    # semantics at span granularity); goldens additionally pin the strings
     from docling_spark.operators.serialize import html_sink
-    from docling_spark.pipeline import extract
 
     _ensure_workers(spark)
-    docs = spark.read.parquet(_corpus_path(sf_dir))
-    return html_sink(extract(docs))
+    return html_sink(spark.read.parquet(_normalized_path(sf_dir)))
 
 
 def x_extract_full(spark, sf_dir):
@@ -888,15 +885,13 @@ def x_annex_integration(spark, sf_dir):
     return integrate_annexes(extract_full(docs), manifest)
 
 
-def x_doctags_sink(spark, sf_dir):
+def q_doctags_sink(spark, sf_dir):
     # serializer-matrix third format (reference serializer/doctags.py):
-    # token stream incl. OTSL tables; rows-only — goldens pin the strings
+    # token stream incl. OTSL tables; oracle-checked + goldens
     from docling_spark.operators.serialize import doctags_sink
-    from docling_spark.pipeline import extract
 
     _ensure_workers(spark)
-    docs = spark.read.parquet(_corpus_path(sf_dir))
-    return doctags_sink(extract(docs))
+    return doctags_sink(spark.read.parquet(_normalized_path(sf_dir)))
 
 
 def x_chunk_export_rag(spark, sf_dir):
@@ -1015,18 +1010,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_densify": q_grid_densify,
         "token_set_ops": q_token_set_ops,
         "extract_normalized": x_extract_normalized,
-        "extract_kind_histogram": x_extract_kind_histogram,
+        "extract_kind_histogram": q_extract_kind_histogram,
         "multimodal_image_features": x_multimodal_image_features,
         "multimodal_audio_features": x_multimodal_audio_features,
         "multimodal_frame_sample": x_multimodal_frame_sample,
-        "markdown_sink": x_markdown_sink,
-        "html_sink": x_html_sink,
+        "markdown_sink": q_markdown_sink,
+        "html_sink": q_html_sink,
         "extract_full": x_extract_full,
         "annex_integration": x_annex_integration,
         "law_chunks": q_law_chunks,
         "render_triplets": q_render_triplets,
         "chunk_export_rag": x_chunk_export_rag,
-        "doctags_sink": x_doctags_sink,
+        "doctags_sink": q_doctags_sink,
         "hybrid_chunks": q_hybrid_chunks,
     }
 
@@ -1499,6 +1494,16 @@ def _duck_chunk_folded_cte(path: str) -> str:
         )"""
 
 
+def _duck_kind_histogram_sql() -> str:
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        SELECT s.kind AS kind, CAST(count(*) AS BIGINT) AS n_spans
+        FROM (SELECT unnest(spans) AS s FROM read_parquet('{path}'))
+        GROUP BY 1
+    """
+
+
 def _duck_law_chunks_sql() -> str:
     """S8/K5 oracle: the law-level chunker (serialize.chunk_document,
     level='odsek') re-expressed in SQL over the SAME normalized parquet the
@@ -1642,6 +1647,285 @@ list_reduce(
                CAST({ct('parts[3]')} + CAST(parts[2] AS BIGINT) AS BIGINT) AS n_tokens,
                CAST(parts[5] AS BIGINT) AS n_source_units
         FROM flat
+    """
+
+
+_DUCK_HTML_ESC = (
+    "replace(replace(replace(replace({x}, '&', '&amp;'), '<', '&lt;'), "
+    "'>', '&gt;'), chr(10), '<br>')"
+)
+
+
+def _duck_sink_base_cte(path: str) -> str:
+    """Shared segmentation for the serializer-sink oracles: spans → blocks.
+    A block is one non-table/list span, a maximal run of list_items, or a
+    maximal run of table_cells with the same table id — exactly the flush
+    boundaries of the Python renderers."""
+    return r"""raw AS (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{path}')),
+        e AS (SELECT doc_id, s.kind AS kind, s.text AS text,
+                     s.media_ref AS ref, s."offset" AS o FROM raw),
+        t AS (
+          SELECT *,
+                 CASE kind WHEN 'table_cell' THEN 'c'
+                      WHEN 'list_item' THEN 'l' ELSE 'x' END AS cat,
+                 CASE WHEN kind = 'table_cell'
+                      THEN split_part(coalesce(ref, ''), '/r', 1) END AS tid,
+                 CASE WHEN kind = 'table_cell' THEN
+                   CASE WHEN contains(regexp_extract(coalesce(ref,''),
+                                      '/r([0-9]+c[0-9]+)$', 1), 'c')
+                        THEN CAST(regexp_extract(coalesce(ref,''),
+                                  '/r([0-9]+)c', 1) AS BIGINT)
+                        ELSE 0 END
+                 END AS r
+          FROM e),
+        t2 AS (
+          SELECT *, lag(cat, 1, '') OVER w AS prev_cat,
+                 lag(tid) OVER w AS prev_tid
+          FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY o)
+        ),
+        b AS (
+          SELECT *,
+                 sum(CASE WHEN cat = 'x' THEN 1
+                          WHEN cat <> prev_cat THEN 1
+                          WHEN cat = 'c' AND prev_tid IS DISTINCT FROM tid THEN 1
+                          ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY o) AS block_id
+          FROM t2
+        ),
+        cells AS (
+          SELECT doc_id, block_id, r, o, trim(text) AS ct, text AS rawtext,
+                 row_number() OVER (PARTITION BY doc_id, block_id, r
+                                    ORDER BY o) - 1 AS pos
+          FROM b WHERE cat = 'c'
+        ),
+        celldims AS (
+          SELECT doc_id, block_id, max(r) AS maxr, min(o) AS bo
+          FROM b WHERE cat = 'c' GROUP BY 1, 2
+        ),
+        rowwidth AS (
+          SELECT doc_id, block_id, r, count(*) AS n FROM cells GROUP BY 1, 2, 3
+        ),
+        blockwidth AS (
+          SELECT doc_id, block_id, max(n) AS ncols FROM rowwidth GROUP BY 1, 2
+        ),
+        lattice AS (
+          SELECT d.doc_id, d.block_id, t.i AS r
+          FROM celldims d, unnest(range(0, d.maxr + 1)) t(i)
+        )""".replace("{path}", path)
+
+
+def _duck_markdown_sink_sql() -> str:
+    """S7 oracle: render_markdown reproduced in SQL — per-kind CASE render,
+    pipe tables with '---' separator from the first row's cell count, blank
+    lines via trailing chr(10), leading/trailing whitespace stripped."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        WITH {_duck_sink_base_cte(path)},
+        noncell AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 CASE
+                   WHEN kind IN ('title','part') THEN '# ' || text || chr(10)
+                   WHEN kind IN ('section_header','paragraph','annex')
+                        THEN '## ' || text || chr(10)
+                   WHEN kind = 'paragraph_title' THEN '### ' || text || chr(10)
+                   WHEN kind IN ('odsek','pismeno','subitem','footnote')
+                        THEN '**' || text || '**'
+                   WHEN kind = 'media'
+                        THEN '![' || text || '](' || coalesce(ref,'') || ')' || chr(10)
+                   WHEN kind = 'caption' THEN '*' || text || '*' || chr(10)
+                   ELSE text || chr(10)
+                 END AS block
+          FROM b WHERE cat = 'x'
+          GROUP BY doc_id, block_id, kind, text, ref
+        ),
+        listblock AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 string_agg('- ' || text, chr(10) ORDER BY o) AS block
+          FROM b WHERE cat = 'l' GROUP BY doc_id, block_id
+        ),
+        cellrows AS (
+          SELECT doc_id, block_id, r,
+                 string_agg(rawtext, ' | ' ORDER BY o) AS rowtxt,
+                 count(*) AS ncells
+          FROM cells GROUP BY 1, 2, 3
+        ),
+        alllines AS (
+          SELECT l.doc_id, l.block_id, l.r,
+                 '| ' || coalesce(cr.rowtxt, '') || ' |' AS line
+          FROM lattice l
+          LEFT JOIN cellrows cr ON cr.doc_id = l.doc_id
+                AND cr.block_id = l.block_id AND cr.r = l.r
+        ),
+        hdr AS (
+          SELECT d.doc_id, d.block_id,
+                 '| ' || array_to_string(list_transform(
+                     range(1, CAST(coalesce(cr.ncells, 0) AS BIGINT) + 1),
+                     x -> '---'), ' | ') || ' |' AS sepline
+          FROM celldims d
+          LEFT JOIN cellrows cr ON cr.doc_id = d.doc_id
+                AND cr.block_id = d.block_id AND cr.r = 0
+        ),
+        cellblock AS (
+          SELECT a.doc_id, a.block_id, d.bo,
+                 string_agg(a.line, chr(10) ORDER BY a.r) AS body
+          FROM alllines a JOIN celldims d USING (doc_id, block_id)
+          GROUP BY a.doc_id, a.block_id, d.bo
+        ),
+        cellfinal AS (
+          SELECT cb.doc_id, cb.block_id, cb.bo,
+                 split_part(cb.body, chr(10), 1) || chr(10)
+                 || coalesce(h.sepline, '|  |')
+                 || CASE WHEN position(chr(10) IN cb.body) > 0
+                         THEN chr(10) || substr(cb.body, position(chr(10) IN cb.body) + 1)
+                         ELSE '' END || chr(10) AS block
+          FROM cellblock cb JOIN hdr h USING (doc_id, block_id)
+        ),
+        blocks AS (
+          SELECT doc_id, bo, block FROM noncell
+          UNION ALL SELECT doc_id, bo, block FROM listblock
+          UNION ALL SELECT doc_id, bo, block FROM cellfinal
+        ),
+        docs AS (
+          SELECT doc_id, string_agg(block, chr(10) ORDER BY bo) AS md0
+          FROM blocks GROUP BY doc_id
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(md0, '^\\s+', ''), '\\s+$', '')
+               || chr(10) AS markdown
+        FROM docs
+    """
+
+
+def _duck_html_sink_sql() -> str:
+    """S7b oracle: render_html reproduced in SQL (escaped text, th/td rows,
+    ul runs, figure/img)."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    esc = _DUCK_HTML_ESC.format(x="coalesce(text, '')")
+    escc = _DUCK_HTML_ESC.format(x="c.ct")
+    return f"""
+        WITH {_duck_sink_base_cte(path)},
+        noncell AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 CASE
+                   WHEN kind IN ('title','part') THEN '<h1>' || {esc} || '</h1>'
+                   WHEN kind IN ('section_header','paragraph','annex')
+                        THEN '<h2>' || {esc} || '</h2>'
+                   WHEN kind = 'paragraph_title' THEN '<h3>' || {esc} || '</h3>'
+                   WHEN kind IN ('odsek','pismeno','subitem','footnote')
+                        THEN '<p><b>' || {esc} || '</b></p>'
+                   WHEN kind = 'media' THEN '<figure><img src="' || coalesce(ref,'')
+                        || '" alt="' || {esc} || '" /></figure>'
+                   WHEN kind = 'caption' THEN '<figcaption>' || {esc} || '</figcaption>'
+                   ELSE '<p>' || {esc} || '</p>'
+                 END AS block
+          FROM b WHERE cat = 'x'
+          GROUP BY doc_id, block_id, kind, text, ref
+        ),
+        listblock AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 '<ul>' || chr(10)
+                 || string_agg('<li>' || {esc} || '</li>', chr(10) ORDER BY o)
+                 || chr(10) || '</ul>' AS block
+          FROM b WHERE cat = 'l' GROUP BY doc_id, block_id
+        ),
+        rowstr AS (
+          SELECT c.doc_id, c.block_id, c.r,
+                 string_agg(
+                   CASE WHEN c.r = 0 THEN '<th>' || {escc} || '</th>'
+                        ELSE '<td>' || {escc} || '</td>' END,
+                   '' ORDER BY c.pos) AS rowhtml
+          FROM cells c GROUP BY 1, 2, 3
+        ),
+        tblock AS (
+          SELECT l.doc_id, l.block_id,
+                 '<table><tbody>'
+                 || string_agg('<tr>' || coalesce(rs.rowhtml, '') || '</tr>', '' ORDER BY l.r)
+                 || '</tbody></table>' AS block
+          FROM lattice l
+          LEFT JOIN rowstr rs ON rs.doc_id = l.doc_id
+                AND rs.block_id = l.block_id AND rs.r = l.r
+          GROUP BY l.doc_id, l.block_id
+        ),
+        blocks AS (
+          SELECT doc_id, bo, block FROM noncell
+          UNION ALL SELECT doc_id, bo, block FROM listblock
+          UNION ALL SELECT tb.doc_id, d.bo, tb.block
+          FROM tblock tb JOIN celldims d USING (doc_id, block_id)
+        )
+        SELECT doc_id,
+               CASE WHEN count(*) = 0 THEN ''
+                    ELSE string_agg(block, chr(10) ORDER BY bo) || chr(10) END AS html
+        FROM blocks GROUP BY doc_id
+    """
+
+
+def _duck_doctags_sink_sql() -> str:
+    """S7c oracle: render_doctags reproduced in SQL (document tokens, OTSL
+    tables with ched/fcel/ecel/nl and ecel padding to the block width)."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        WITH {_duck_sink_base_cte(path)},
+        noncell AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 CASE
+                   WHEN kind = 'title' THEN '<title>' || text || '</title>'
+                   WHEN kind = 'part' THEN '<section_header_level_1>' || text
+                        || '</section_header_level_1>'
+                   WHEN kind IN ('section_header','paragraph','annex')
+                        THEN '<section_header_level_2>' || text || '</section_header_level_2>'
+                   WHEN kind = 'paragraph_title'
+                        THEN '<section_header_level_3>' || text || '</section_header_level_3>'
+                   WHEN kind = 'media' THEN '<picture>' || text || '</picture>'
+                   WHEN kind = 'caption' THEN '<caption>' || text || '</caption>'
+                   WHEN kind = 'footnote' THEN '<footnote>' || text || '</footnote>'
+                   ELSE '<text>' || text || '</text>'
+                 END AS block
+          FROM b WHERE cat = 'x'
+          GROUP BY doc_id, block_id, kind, text, ref
+        ),
+        listblock AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 '<unordered_list>' || chr(10)
+                 || string_agg('<list_item>' || text || '</list_item>', chr(10) ORDER BY o)
+                 || chr(10) || '</unordered_list>' AS block
+          FROM b WHERE cat = 'l' GROUP BY doc_id, block_id
+        ),
+        clattice AS (
+          SELECT d.doc_id, d.block_id, rt.i AS r, ct.j AS c
+          FROM celldims d JOIN blockwidth w USING (doc_id, block_id),
+               unnest(range(0, d.maxr + 1)) rt(i),
+               unnest(range(0, w.ncols)) ct(j)
+        ),
+        rowstr AS (
+          SELECT l.doc_id, l.block_id, l.r,
+                 string_agg(
+                   CASE WHEN cl.ct IS NULL OR cl.ct = '' THEN '<ecel>'
+                        WHEN l.r = 0 THEN '<ched>' || cl.ct
+                        ELSE '<fcel>' || cl.ct END,
+                   '' ORDER BY l.c) || '<nl>' AS rowdt
+          FROM clattice l
+          LEFT JOIN cells cl ON cl.doc_id = l.doc_id AND cl.block_id = l.block_id
+                            AND cl.r = l.r AND cl.pos = l.c
+          GROUP BY 1, 2, 3
+        ),
+        tblock AS (
+          SELECT rs.doc_id, rs.block_id,
+                 '<otsl>' || string_agg(rs.rowdt, '' ORDER BY rs.r) || '</otsl>' AS block
+          FROM rowstr rs GROUP BY 1, 2
+        ),
+        blocks AS (
+          SELECT doc_id, bo, block FROM noncell
+          UNION ALL SELECT doc_id, bo, block FROM listblock
+          UNION ALL SELECT tb.doc_id, d.bo, tb.block
+          FROM tblock tb JOIN celldims d USING (doc_id, block_id)
+        )
+        SELECT doc_id,
+               '<doctag>' || coalesce(string_agg(block, chr(10) ORDER BY bo), '')
+               || '</doctag>' || chr(10) AS doctags
+        FROM blocks GROUP BY doc_id
     """
 
 
@@ -1981,7 +2265,11 @@ def oracle_sql() -> dict[str, str]:
                      '\\s+', ' ', 'g')) AS normalized
             FROM documents
         """,
+        "extract_kind_histogram": _duck_kind_histogram_sql(),
         "law_chunks": _duck_law_chunks_sql(),
+        "markdown_sink": _duck_markdown_sink_sql(),
+        "html_sink": _duck_html_sink_sql(),
+        "doctags_sink": _duck_doctags_sink_sql(),
         "hybrid_chunks": _duck_hybrid_chunks_sql(),
         "render_triplets": _duck_triplets_sql(),
         "ann_ivf_topk": _duck_ivf_topk_sql(),

@@ -62,7 +62,8 @@ def render_markdown(spans: List[Span]) -> str:
                 flush_table()
             table_idx = tid
             row_tag = (ref or "").rsplit("/r", 1)[-1]
-            r = int(row_tag.split("c")[0]) if "c" in row_tag else 0
+            head = row_tag.split("c")[0]
+            r = int(head) if head.isdigit() else 0
             while len(table_rows) <= r:
                 table_rows.append([])
             table_rows[r].append(text)
@@ -172,7 +173,8 @@ def render_html(spans: List[Span]) -> str:
                 flush_table()
             table_idx = tid
             row_tag = (ref or "").rsplit("/r", 1)[-1]
-            r = int(row_tag.split("c")[0]) if "c" in row_tag else 0
+            head = row_tag.split("c")[0]
+            r = int(head) if head.isdigit() else 0
             while len(table_rows) <= r:
                 table_rows.append([])
             # cell text stripped + escaped like html.py:387
@@ -276,7 +278,8 @@ def render_doctags(spans: List[Span]) -> str:
                 flush_table()
             table_idx = tid
             row_tag = (ref or "").rsplit("/r", 1)[-1]
-            r = int(row_tag.split("c")[0]) if "c" in row_tag else 0
+            head = row_tag.split("c")[0]
+            r = int(head) if head.isdigit() else 0
             while len(table_rows) <= r:
                 table_rows.append([])
             table_rows[r].append((text or "").strip())
