@@ -844,13 +844,15 @@ def q_html_sink(spark, sf_dir):
     return html_sink(spark.read.parquet(_normalized_path(sf_dir)))
 
 
-def x_extract_full(spark, sf_dir):
-    # flagship end-to-end: extract → J4 enrichment, exploded to spans
-    from docling_spark.pipeline import extract_full
+def q_extract_full(spark, sf_dir):
+    # flagship end-to-end tail: J4 enrichment over the shared normalized
+    # parquet (= extract output), exploded to spans; oracle-checked — the
+    # extraction half stays covered by extract_normalized + goldens
+    from docling_spark.operators.enrich import enrich
 
     _ensure_workers(spark)
-    docs = spark.read.parquet(_corpus_path(sf_dir))
-    return extract_full(docs).select(
+    norm = spark.read.parquet(_normalized_path(sf_dir))
+    return enrich(norm).select(
         "doc_id", F.explode("spans").alias("s")
     ).select(
         "doc_id",
@@ -861,14 +863,15 @@ def x_extract_full(spark, sf_dir):
     )
 
 
-def x_annex_integration(spark, sf_dir):
+def q_annex_integration(spark, sf_dir):
     # J5 end-to-end: manifest (every law declares annexes 1-2) broadcast
-    # left-joined against extraction output; unresolved → placeholder rows
-    from docling_spark.pipeline import extract_full
+    # left-joined against the enriched extraction output; unresolved →
+    # placeholder rows; oracle-checked
+    from docling_spark.operators.enrich import enrich
     from docling_spark.sources.readers import integrate_annexes
 
     _ensure_workers(spark)
-    docs = spark.read.parquet(_corpus_path(sf_dir))
+    docs = spark.read.parquet(_normalized_path(sf_dir))
     law_ids = (
         docs.select(F.regexp_extract("doc_id", r"^law-(\d+)$", 1).alias("law_id"))
         .filter(F.col("law_id") != "")
@@ -882,7 +885,7 @@ def x_annex_integration(spark, sf_dir):
         .withColumn("annex_type", F.lit("inline"))
         .withColumn("annex_url", F.lit(None).cast("string"))
     )
-    return integrate_annexes(extract_full(docs), manifest)
+    return integrate_annexes(enrich(docs), manifest)
 
 
 def q_doctags_sink(spark, sf_dir):
@@ -1016,8 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": x_multimodal_frame_sample,
         "markdown_sink": q_markdown_sink,
         "html_sink": q_html_sink,
-        "extract_full": x_extract_full,
-        "annex_integration": x_annex_integration,
+        "extract_full": q_extract_full,
+        "annex_integration": q_annex_integration,
         "law_chunks": q_law_chunks,
         "render_triplets": q_render_triplets,
         "chunk_export_rag": x_chunk_export_rag,
@@ -1929,6 +1932,117 @@ def _duck_doctags_sink_sql() -> str:
     """
 
 
+def _duck_enriched_cte(path: str) -> str:
+    """CTE chain reproducing J4 enrichment (operators/enrich.py) over the
+    normalized parquet: paragraph text spans with no odsek sibling and a
+    long intro embedding a well-formed a) b) … run are rewritten into a
+    synthetic odsek-1 + pismeno spans; everything renumbers by document
+    order. Ends with `enriched(doc_id, o2, kind, text, ref)`."""
+    pat = r"(?:^|\s)([a-z]{1,2})\)\s+"
+    ws = "' ' || chr(9) || chr(10) || chr(13)"
+    return f"""raw AS (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{path}')),
+        e AS (SELECT doc_id, s.kind AS kind, s.text AS text,
+                     s.media_ref AS ref, s."offset" AS o FROM raw),
+        w AS (
+          SELECT *,
+                 last_value(CASE WHEN kind = 'paragraph' THEN ref END IGNORE NULLS)
+                   OVER (PARTITION BY doc_id ORDER BY o
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_para
+          FROM e),
+        has_odsek AS (
+          SELECT DISTINCT doc_id, cur_para FROM w
+          WHERE kind = 'odsek' AND cur_para IS NOT NULL),
+        cand AS (
+          SELECT w.*,
+                 regexp_split_to_array(w.text, '{pat}') AS segs,
+                 regexp_extract_all(w.text, '{pat}', 1) AS letters
+          FROM w
+          LEFT JOIN has_odsek h ON h.doc_id = w.doc_id AND h.cur_para = w.cur_para
+          WHERE w.kind = 'text' AND w.cur_para IS NOT NULL AND w.ref = w.cur_para
+            AND h.cur_para IS NULL AND length(w.text) > 200),
+        valid AS (
+          SELECT *, ltrim(cur_para, '#') AS base,
+                 '#' || ltrim(cur_para, '#') || '.odsek-1' AS oref,
+                 trim(segs[1], {ws}) AS intro
+          FROM cand
+          WHERE len(letters) >= 2
+            AND letters = list_transform(range(0, len(letters)),
+                                         i -> chr(97 + CAST(i AS INT)))),
+        rewritten AS (
+          SELECT doc_id, o,
+                 list_concat(
+                   list_concat(
+                     [['odsek', '(1)', oref]],
+                     CASE WHEN intro <> '' THEN [['text', intro, oref]]
+                          ELSE CAST([] AS VARCHAR[][]) END),
+                   flatten(list_transform(range(1, len(letters) + 1), i ->
+                     list_concat(
+                       [['pismeno', letters[CAST(i AS BIGINT)] || ')',
+                         '#' || base || '.odsek-1.pismeno-' || letters[CAST(i AS BIGINT)]]],
+                       CASE WHEN trim(segs[CAST(i AS BIGINT) + 1], {ws}) <> ''
+                            THEN [['text', trim(segs[CAST(i AS BIGINT) + 1], {ws}),
+                                   '#' || base || '.odsek-1.pismeno-'
+                                   || letters[CAST(i AS BIGINT)]]]
+                            ELSE CAST([] AS VARCHAR[][]) END)))
+                 ) AS rows
+          FROM valid),
+        passthrough AS (
+          SELECT w.doc_id, w.o, [[w.kind, w.text, w.ref]] AS rows
+          FROM w LEFT JOIN rewritten r ON r.doc_id = w.doc_id AND r.o = w.o
+          WHERE r.o IS NULL),
+        allrows AS (
+          SELECT * FROM rewritten UNION ALL SELECT * FROM passthrough),
+        flat AS (
+          SELECT doc_id, o, t.i AS idx, rows[CAST(t.i AS BIGINT)] AS rw
+          FROM allrows, unnest(range(1, len(rows) + 1)) t(i)),
+        enriched AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY o, idx) - 1
+                      AS INT) AS o2,
+                 rw[1] AS kind, rw[2] AS text, rw[3] AS ref
+          FROM flat)"""
+
+
+def _duck_extract_full_sql() -> str:
+    """J4 end-to-end oracle: the enriched span stream, exploded."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        WITH {_duck_enriched_cte(path)}
+        SELECT doc_id, CAST(o2 AS INT) AS "offset", kind, text,
+               ref AS media_ref
+        FROM enriched
+    """
+
+
+def _duck_annex_integration_sql() -> str:
+    """J5 oracle: manifest (law ids × annexes 1-2) left-joined against annex
+    spans found in the enriched stream — same fanout/placeholder semantics
+    as sources.readers.integrate_annexes."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        WITH {_duck_enriched_cte(path)},
+        laws AS (
+          SELECT DISTINCT regexp_extract(doc_id, '^law-(\\d+)$', 1) AS law_id
+          FROM enriched WHERE regexp_matches(doc_id, '^law-\\d+$')),
+        manifest AS (
+          SELECT law_id, CAST(t.n AS INT) AS annex_no, 'inline' AS annex_type
+          FROM laws, unnest([1, 2]) t(n)),
+        found AS (
+          SELECT regexp_extract(doc_id, '-(\\d+)$', 1) AS law_id,
+                 TRY_CAST(regexp_extract(coalesce(ref, ''), '#priloha-(\\d+)', 1)
+                          AS INT) AS annex_no,
+                 text AS found_title
+          FROM enriched WHERE kind = 'annex')
+        SELECT m.law_id, m.annex_no, m.annex_type,
+               coalesce(f.found_title, '[missing annex]') AS title,
+               f.found_title IS NOT NULL AS resolved
+        FROM manifest m
+        LEFT JOIN found f ON f.law_id = m.law_id AND f.annex_no = m.annex_no
+    """
+
+
 def _duck_triplets_sql() -> str:
     """C8 oracle: per-table triplet rendering from the normalized parquet.
     Body cells (r>0, c>0, non-empty value) render row-major as
@@ -2266,6 +2380,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "extract_kind_histogram": _duck_kind_histogram_sql(),
+        "extract_full": _duck_extract_full_sql(),
+        "annex_integration": _duck_annex_integration_sql(),
         "law_chunks": _duck_law_chunks_sql(),
         "markdown_sink": _duck_markdown_sink_sql(),
         "html_sink": _duck_html_sink_sql(),
