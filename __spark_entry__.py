@@ -897,14 +897,23 @@ def q_doctags_sink(spark, sf_dir):
     return doctags_sink(spark.read.parquet(_normalized_path(sf_dir)))
 
 
-def x_chunk_export_rag(spark, sf_dir):
-    # S8 per-format chunk writer (.rag.json shape); rows-only — format
-    # byte-layout pinned by pytest
+def q_chunk_export_rag(spark, sf_dir):
+    # S8 per-format chunk writer (.rag.json shape); oracle-checked — DuckDB
+    # reassembles the exact json.dumps(indent=2) byte layout
     from docling_spark.operators.serialize import chunk_export_sink
 
     _ensure_workers(spark)
     norm = spark.read.parquet(_normalized_path(sf_dir))
     return chunk_export_sink(norm, fmt="rag", level="odsek")
+
+
+def q_chunk_export_md(spark, sf_dir):
+    # S8 .chunks.md writer; oracle-checked
+    from docling_spark.operators.serialize import chunk_export_sink
+
+    _ensure_workers(spark)
+    norm = spark.read.parquet(_normalized_path(sf_dir))
+    return chunk_export_sink(norm, fmt="md", level="odsek")
 
 
 def q_law_chunks(spark, sf_dir):
@@ -1023,7 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annex_integration": q_annex_integration,
         "law_chunks": q_law_chunks,
         "render_triplets": q_render_triplets,
-        "chunk_export_rag": x_chunk_export_rag,
+        "chunk_export_rag": q_chunk_export_rag,
+        "chunk_export_md": q_chunk_export_md,
         "doctags_sink": q_doctags_sink,
         "hybrid_chunks": q_hybrid_chunks,
     }
@@ -2043,6 +2053,80 @@ def _duck_annex_integration_sql() -> str:
     """
 
 
+_DUCK_JSON_ESC = (
+    "replace(replace(replace(replace(replace({x}, chr(92), chr(92)||chr(92)), "
+    "'\"', chr(92)||'\"'), chr(10), chr(92)||'n'), chr(9), chr(92)||'t'), "
+    "chr(13), chr(92)||'r')"
+)
+
+
+def _duck_chunk_export_rag_sql() -> str:
+    """S8 oracle: the .rag.json payload byte-layout (json.dumps indent=2,
+    ensure_ascii=False) assembled in SQL over the chunker CTE — the corpus
+    alphabet needs only the five standard JSON escapes."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    cte = _duck_chunk_folded_cte(path)
+    esc = _DUCK_JSON_ESC.format
+    chunk_str = (
+        "'    {' || chr(10)"
+        " || '      \"text\": \"' || " + esc(x="content") + " || '\",' || chr(10)"
+        " || '      \"metadata\": {' || chr(10)"
+        " || '        \"chunk_id\": \"' || " + esc(x="chunk_id") + " || '\",' || chr(10)"
+        " || '        \"level\": \"' || seg_kind || '\",' || chr(10)"
+        " || '        \"headings\": ' || headings_json || ',' || chr(10)"
+        " || '        \"content_length\": ' || CAST(length(content) AS VARCHAR) || chr(10)"
+        " || '      }' || chr(10)"
+        " || '    }'"
+    )
+    return f"""
+        WITH {cte},
+        chunks AS (
+          SELECT doc_id, seg,
+                 doc_id || '/' || ltrim(coalesce(seg_ref, seg_text), '#') AS chunk_id,
+                 seg_kind, content,
+                 coalesce(stack, CAST([] AS VARCHAR[])) AS stack
+          FROM folded),
+        hjson AS (
+          SELECT *, CASE WHEN len(stack) = 0 THEN '[]'
+               ELSE '[' || chr(10) || array_to_string(
+                      list_transform(stack, h -> '          "' || {esc(x='h')} || '"'),
+                      ',' || chr(10)) || chr(10) || '        ]' END AS headings_json
+          FROM chunks),
+        rendered AS (
+          SELECT doc_id, seg, {chunk_str} AS cstr FROM hjson),
+        perdoc AS (
+          SELECT doc_id, string_agg(cstr, ',' || chr(10) ORDER BY seg) AS body
+          FROM rendered GROUP BY doc_id),
+        alldocs AS (SELECT DISTINCT doc_id FROM raw)
+        SELECT a.doc_id,
+               CASE WHEN p.body IS NULL
+                    THEN '{{' || chr(10) || '  "chunks": []' || chr(10) || '}}'
+                    ELSE '{{' || chr(10) || '  "chunks": [' || chr(10) || p.body
+                         || chr(10) || '  ]' || chr(10) || '}}' END AS payload
+        FROM alldocs a LEFT JOIN perdoc p USING (doc_id)
+    """.replace("{{", "{").replace("}}", "}")
+
+
+def _duck_chunk_export_md_sql() -> str:
+    """S8 oracle: the .chunks.md payload (contents joined with the
+    reference's '---' separator layout)."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        WITH {_duck_chunk_folded_cte(path)},
+        perdoc AS (
+          SELECT doc_id,
+                 string_agg(content,
+                            chr(10) || chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                            ORDER BY seg) AS body
+          FROM folded GROUP BY doc_id),
+        alldocs AS (SELECT DISTINCT doc_id FROM raw)
+        SELECT a.doc_id, coalesce(p.body, '') AS payload
+        FROM alldocs a LEFT JOIN perdoc p USING (doc_id)
+    """
+
+
 def _duck_triplets_sql() -> str:
     """C8 oracle: per-table triplet rendering from the normalized parquet.
     Body cells (r>0, c>0, non-empty value) render row-major as
@@ -2381,6 +2465,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_kind_histogram": _duck_kind_histogram_sql(),
         "extract_full": _duck_extract_full_sql(),
+        "chunk_export_rag": _duck_chunk_export_rag_sql(),
+        "chunk_export_md": _duck_chunk_export_md_sql(),
         "annex_integration": _duck_annex_integration_sql(),
         "law_chunks": _duck_law_chunks_sql(),
         "markdown_sink": _duck_markdown_sink_sql(),
