@@ -888,6 +888,15 @@ def q_annex_integration(spark, sf_dir):
     return integrate_annexes(enrich(docs), manifest)
 
 
+def q_latex_sink(spark, sf_dir):
+    # serializer-matrix fourth format (reference serializer/latex.py);
+    # oracle-checked + goldens
+    from docling_spark.operators.serialize import latex_sink
+
+    _ensure_workers(spark)
+    return latex_sink(spark.read.parquet(_normalized_path(sf_dir)))
+
+
 def q_doctags_sink(spark, sf_dir):
     # serializer-matrix third format (reference serializer/doctags.py):
     # token stream incl. OTSL tables; oracle-checked + goldens
@@ -1035,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_export_rag": q_chunk_export_rag,
         "chunk_export_md": q_chunk_export_md,
         "doctags_sink": q_doctags_sink,
+        "latex_sink": q_latex_sink,
         "hybrid_chunks": q_hybrid_chunks,
     }
 
@@ -2127,6 +2137,103 @@ def _duck_chunk_export_md_sql() -> str:
     """
 
 
+def _duck_latex_escape(x: str) -> str:
+    """Three-phase LaTeX escape matching the reference's per-char map
+    (latex.py:99-122): sentinels for backslash/braces first so replacement
+    text is never re-scanned, direct escapes second, sentinel expansion
+    last."""
+    s = f"replace(replace(replace({x}, chr(92), chr(1)), '{{', chr(2)), '}}', chr(3))"
+    for ch, rep in [("#", "chr(92)||'#'"), ("$", "chr(92)||'$'"),
+                    ("%", "chr(92)||'%'"), ("&", "chr(92)||'&'"),
+                    ("_", "chr(92)||'_'"),
+                    ("~", "chr(92)||'textasciitilde{{}}'"),
+                    ("^", "chr(92)||'textasciicircum{{}}'")]:
+        s = f"replace({s}, '{ch}', {rep})"
+    s = (f"replace(replace(replace({s}, chr(1), chr(92)||'textbackslash{{}}'), "
+         f"chr(2), chr(92)||'{{'), chr(3), chr(92)||'}}')")
+    return s.replace("{{", "{").replace("}}", "}")
+
+
+def _duck_latex_sink_sql() -> str:
+    """S7d oracle: render_latex reproduced in SQL (reference serializer
+    latex.py semantics at span granularity)."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    cte = _duck_sink_base_cte(path)
+    ESC = _duck_latex_escape("coalesce(text, '')")
+    ESCC = _duck_latex_escape("c.ct")
+    BS = "chr(92)"
+    return f"""
+        WITH {cte},
+        noncell AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 CASE
+                   WHEN kind = 'title' THEN {BS} || 'title{{' || {ESC} || '}}'
+                   WHEN kind = 'part' THEN {BS} || 'section{{' || {ESC} || '}}'
+                   WHEN kind IN ('section_header','paragraph','annex')
+                        THEN {BS} || 'subsection{{' || {ESC} || '}}'
+                   WHEN kind = 'paragraph_title'
+                        THEN {BS} || 'subsubsection{{' || {ESC} || '}}'
+                   WHEN kind IN ('odsek','pismeno','subitem','footnote')
+                        THEN {BS} || 'textbf{{' || {ESC} || '}}'
+                   WHEN kind = 'media' THEN {BS} || 'begin{{figure}}[h]' || chr(10)
+                        || CASE WHEN ref IS NOT NULL AND ref <> ''
+                                THEN {BS} || 'includegraphics{{' || ref || '}}' || chr(10)
+                                ELSE '' END
+                        || {BS} || 'caption{{' || {ESC} || '}}' || chr(10)
+                        || {BS} || 'end{{figure}}'
+                   WHEN kind = 'caption' THEN {BS} || 'caption{{' || {ESC} || '}}'
+                   ELSE {ESC}
+                 END AS block
+          FROM b WHERE cat = 'x'
+          GROUP BY doc_id, block_id, kind, text, ref
+        ),
+        listblock AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 {BS} || 'begin{{itemize}}' || chr(10)
+                 || string_agg({BS} || 'item ' || {ESC}, chr(10) ORDER BY o)
+                 || chr(10) || {BS} || 'end{{itemize}}' AS block
+          FROM b WHERE cat = 'l' GROUP BY doc_id, block_id
+        ),
+        rowstr AS (
+          SELECT c.doc_id, c.block_id, c.r,
+                 string_agg({ESCC}, ' & ' ORDER BY c.pos) AS rowtex
+          FROM cells c GROUP BY 1, 2, 3
+        ),
+        tblock AS (
+          SELECT l.doc_id, l.block_id, w.ncols,
+                 string_agg(coalesce(rs.rowtex, '') || ' ' || {BS}||{BS} || ' '
+                            || {BS} || 'hline', chr(10) ORDER BY l.r) AS body
+          FROM lattice l
+          JOIN blockwidth w USING (doc_id, block_id)
+          LEFT JOIN rowstr rs ON rs.doc_id = l.doc_id
+                AND rs.block_id = l.block_id AND rs.r = l.r
+          GROUP BY l.doc_id, l.block_id, w.ncols
+        ),
+        tfinal AS (
+          SELECT tb.doc_id, tb.block_id, d.bo,
+                 {BS} || 'begin{{table}}[h]' || chr(10)
+                 || {BS} || 'begin{{tabular}}{{|'
+                 || array_to_string(list_transform(
+                      range(1, CAST(tb.ncols AS BIGINT) + 1), x -> 'l'), '|')
+                 || '|}}' || chr(10) || {BS} || 'hline' || chr(10)
+                 || tb.body || chr(10) || {BS} || 'end{{tabular}}' || chr(10)
+                 || {BS} || 'end{{table}}' AS block
+          FROM tblock tb JOIN celldims d USING (doc_id, block_id)
+        ),
+        blocks AS (
+          SELECT doc_id, bo, block FROM noncell
+          UNION ALL SELECT doc_id, bo, block FROM listblock
+          UNION ALL SELECT doc_id, bo, block FROM tfinal
+        )
+        SELECT doc_id,
+               CASE WHEN count(*) = 0 THEN ''
+                    ELSE string_agg(block, chr(10) || chr(10) ORDER BY bo)
+                         || chr(10) END AS latex
+        FROM blocks GROUP BY doc_id
+    """.replace("{{", "{").replace("}}", "}")
+
+
 def _duck_triplets_sql() -> str:
     """C8 oracle: per-table triplet rendering from the normalized parquet.
     Body cells (r>0, c>0, non-empty value) render row-major as
@@ -2472,6 +2579,7 @@ def oracle_sql() -> dict[str, str]:
         "markdown_sink": _duck_markdown_sink_sql(),
         "html_sink": _duck_html_sink_sql(),
         "doctags_sink": _duck_doctags_sink_sql(),
+        "latex_sink": _duck_latex_sink_sql(),
         "hybrid_chunks": _duck_hybrid_chunks_sql(),
         "render_triplets": _duck_triplets_sql(),
         "ann_ivf_topk": _duck_ivf_topk_sql(),

@@ -222,6 +222,129 @@ def html_sink(df):
 
 
 # ---------------------------------------------------------------------------
+# LaTeX sink (the reference serializer matrix's fourth format:
+# transforms/serializer/latex.py — _escape_latex char map :99-122, title as
+# \title :172, section levels 1-3 → \section/\subsection/\subsubsection
+# :180-195, bold :600-602, itemize lists :515-527 with \item :167, tables
+# as \begin{table}[h] + tabular with |l|...| colspec and
+# "cells & ... \\ \hline" rows :325-356. Re-expressed at span granularity;
+# parts joined with blank lines like the reference's "\n\n".join.)
+# ---------------------------------------------------------------------------
+
+_LATEX_ESCAPES = {
+    "\\": r"\textbackslash{}",
+    "{": r"\{",
+    "}": r"\}",
+    "#": r"\#",
+    "$": r"\$",
+    "%": r"\%",
+    "&": r"\&",
+    "_": r"\_",
+    "~": r"\textasciitilde{}",
+    "^": r"\textasciicircum{}",
+}
+
+_LATEX_HEADING_CMD = {
+    "title": "title",
+    "part": "section",
+    "section_header": "subsection",
+    "paragraph": "subsection",
+    "annex": "subsection",
+    "paragraph_title": "subsubsection",
+}
+
+
+def _latex_escape(text: str) -> str:
+    """Per-char map, replacements never re-scanned (latex.py:99-122)."""
+    return "".join(_LATEX_ESCAPES.get(ch, ch) for ch in (text or ""))
+
+
+def render_latex(spans: List[Span]) -> str:
+    """One document's normalized spans → LaTeX body fragment."""
+    out: List[str] = []
+    table_rows: List[List[str]] = []
+    table_idx: Optional[str] = None
+    list_items: List[str] = []
+
+    def flush_list() -> None:
+        nonlocal list_items
+        if list_items:
+            out.append(
+                "\\begin{itemize}\n"
+                + "\n".join(f"\\item {x}" for x in list_items)
+                + "\n\\end{itemize}"
+            )
+            list_items = []
+
+    def flush_table() -> None:
+        nonlocal table_rows, table_idx
+        if not table_rows:
+            return
+        ncols = max(len(r) for r in table_rows)
+        colspec = "|" + "|".join(["l"] * ncols) + "|"
+        lines = [f"\\begin{{tabular}}{{{colspec}}}", "\\hline"]
+        for row in table_rows:
+            lines.append(" & ".join(row) + r" \\ \hline")
+        lines.append("\\end{tabular}")
+        out.append("\\begin{table}[h]\n" + "\n".join(lines) + "\n\\end{table}")
+        table_rows = []
+        table_idx = None
+
+    for kind, text, ref in spans:
+        if kind == "table_cell":
+            flush_list()
+            tid = (ref or "").split("/r")[0]
+            if table_idx is not None and tid != table_idx:
+                flush_table()
+            table_idx = tid
+            row_tag = (ref or "").rsplit("/r", 1)[-1]
+            head = row_tag.split("c")[0]
+            r = int(head) if head.isdigit() else 0
+            while len(table_rows) <= r:
+                table_rows.append([])
+            table_rows[r].append(_latex_escape((text or "").strip()))
+            continue
+        flush_table()
+        if kind == "list_item":
+            list_items.append(_latex_escape(text))
+            continue
+        flush_list()
+        if kind in _LATEX_HEADING_CMD:
+            out.append(f"\\{_LATEX_HEADING_CMD[kind]}{{{_latex_escape(text)}}}")
+        elif kind in ("odsek", "pismeno", "subitem", "footnote"):
+            out.append(f"\\textbf{{{_latex_escape(text)}}}")
+        elif kind == "media":
+            body = f"\\includegraphics{{{ref}}}\n" if ref else ""
+            out.append(
+                "\\begin{figure}[h]\n" + body
+                + f"\\caption{{{_latex_escape(text)}}}\n\\end{{figure}}"
+            )
+        elif kind == "caption":
+            out.append(f"\\caption{{{_latex_escape(text)}}}")
+        else:
+            out.append(_latex_escape(text))
+    flush_table()
+    flush_list()
+    return "\n\n".join(out) + ("\n" if out else "")
+
+
+def latex_sink(df):
+    """normalized documents → (doc_id, latex). Zero-shuffle mapInPandas."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rendered = [
+                render_latex(
+                    [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)]
+                )
+                for spans in pdf["spans"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "latex": rendered})
+
+    return df.mapInPandas(gen, schema="doc_id string, latex string")
+
+
+# ---------------------------------------------------------------------------
 # doctags sink (the reference serializer matrix's third format:
 # transforms/serializer/doctags.py — every item wrapped in its
 # DocumentToken (<title>, <section_header_level_N>, <text>, <footnote>,

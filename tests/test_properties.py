@@ -287,13 +287,15 @@ def test_serializers_total_on_arbitrary_streams(spans):
     from docling_spark.operators.serialize import (
         render_doctags,
         render_html,
+        render_latex,
         render_markdown,
     )
 
     md = render_markdown(spans)
     h = render_html(spans)
     d = render_doctags(spans)
-    assert isinstance(md, str) and isinstance(h, str) and isinstance(d, str)
+    tex = render_latex(spans)
+    assert all(isinstance(x, str) for x in (md, h, d, tex))
     assert d.startswith("<doctag>") and d.rstrip().endswith("</doctag>")
     # html escaping: raw text '<' never leaks into html output unescaped
     # (every '<' in output starts one of our emitted tags)

@@ -253,3 +253,61 @@ def regen_doctags():
             spans = [tuple(s) for s in json.load(f)]
         with open(os.path.join(gdir, f"{doc_id}.dt"), "w") as f:
             f.write(render_doctags(spans))
+
+
+def test_render_latex():
+    from docling_spark.operators.serialize import _latex_escape, render_latex
+
+    assert _latex_escape("a_b & 100% {x} \\ ~z^2 $#") == (
+        r"a\_b \& 100\% \{x\} \textbackslash{} \textasciitilde{}z"
+        r"\textasciicircum{}2 \$\#"
+    )
+    spans = _SPANS + [("list_item", "prvý bod", None), ("list_item", "a_b", None)]
+    tex = render_latex(spans)
+    assert "\\title{Zákon č. 1/2020 Z. z.}" in tex
+    assert "\\section{PRVÁ ČASŤ}" in tex
+    assert "\\subsection{§ 1}" in tex
+    assert "\\subsubsection{Predmet}" in tex
+    assert "\\textbf{(1)}" in tex
+    assert "\\begin{tabular}{|l|l|}" in tex
+    assert "A & B \\\\ \\hline" in tex
+    assert "\\includegraphics{img://x.png}" in tex
+    assert "\\begin{itemize}\n\\item prvý bod\n\\item a\\_b\n\\end{itemize}" in tex
+
+
+def test_latex_goldens():
+    """Committed LaTeX fixtures; regen with
+        python -c "from tests.test_serialize import regen_latex; regen_latex()"
+    """
+    import glob
+    import json
+    import os
+
+    from docling_spark.operators.serialize import render_latex
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    fixtures = sorted(glob.glob(os.path.join(gdir, "*.tex")))
+    assert fixtures, "no committed .tex goldens"
+    for path in fixtures:
+        doc_id = os.path.splitext(os.path.basename(path))[0]
+        with open(os.path.join(gdir, f"{doc_id}.json")) as f:
+            spans = [tuple(s) for s in json.load(f)]
+        with open(path) as f:
+            golden = f.read()
+        assert render_latex(spans) == golden, f"latex mismatch for {doc_id}"
+
+
+def regen_latex():
+    import glob
+    import json
+    import os
+
+    from docling_spark.operators.serialize import render_latex
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    for jpath in sorted(glob.glob(os.path.join(gdir, "*.json"))):
+        doc_id = os.path.splitext(os.path.basename(jpath))[0]
+        with open(jpath) as f:
+            spans = [tuple(s) for s in json.load(f)]
+        with open(os.path.join(gdir, f"{doc_id}.tex"), "w") as f:
+            f.write(render_latex(spans))
