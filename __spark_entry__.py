@@ -464,6 +464,14 @@ def q_minhash_dup_groups(spark, sf_dir):
     )
 
 
+def q_shared_windows(spark, sf_dir):
+    # exact substring-duplication signal (Lee et al. ACL'22) as a
+    # window-hash equi-join — only 8-byte hashes shuffle, never text
+    from docling_spark.ops.dedup import shared_window_pairs
+
+    return shared_window_pairs(_t(spark, sf_dir, "documents"), window=20)
+
+
 def q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition signals as exact integers
     from docling_spark.ops.textstats import repetition_stats
@@ -1010,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidate_ratio": q_minhash_candidate_ratio,
         "minhash_dup_groups": q_minhash_dup_groups,
         "repetition_stats": q_repetition_stats,
+        "shared_windows": q_shared_windows,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -1204,6 +1213,22 @@ def _duck_simhash_neardup_sql(bits: int = 32, max_hamming: int = 3) -> str:
           ON a.block_id = b.block_id AND a.block_val = b.block_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _duck_shared_windows_sql(window: int = 20) -> str:
+    th = P.token_hash_duck(f"array_to_string(list_slice(tk, i, i + {window - 1}), ' ')")
+    return f"""
+        WITH t AS (SELECT doc_id, {P.tokens_duck('text')} AS tk FROM documents),
+        wh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - {window - 1}, 0) + 1),
+                   i -> {th}))) AS wh
+          FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared_windows
+        FROM wh a JOIN wh b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """
 
 
@@ -2546,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": _duck_minhash_verified_sql(),
         "minhash_candidate_ratio": _duck_minhash_ratio_sql(),
         "minhash_dup_groups": _duck_dup_groups_sql(),
+        "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),
         "reference_extract": """

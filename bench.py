@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "extract_full",
     "html_sink",
     "doctags_sink",
+    "latex_sink",
+    "chunk_export_rag",
     "hybrid_chunks",
 ]
 

@@ -177,6 +177,42 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def shared_window_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", window: int = 20) -> DataFrame:
+    """(id_a, id_b, n_shared_windows) — documents sharing ≥1 exact
+    `window`-token span, the substring-duplication signal of the dedup
+    literature (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22 — exact substring matching; re-expressed as a
+    window-hash equi-join instead of a suffix array: at 100 TB only the
+    8-byte window hashes shuffle, never text, and the join key distributes
+    uniformly)."""
+    wh = (
+        docs.select(F.col(id_col), F.expr(P.tokens_spark(text_col)).alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"slice(sequence(1, size(_tk)), 1, greatest(size(_tk) - {window - 1}, 0)), "
+                    f"i -> {P.token_hash_spark(f'array_join(slice(_tk, i, {window}), chr(32))')}))"
+                )
+            ).alias("wh"),
+        )
+    )
+    a, b = wh.alias("a"), wh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wh") == F.col("b.wh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+    )
+
+
 def dup_components(pairs: DataFrame, id_a: str = "id_a",
                    id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
     """Connected components over a duplicate-pair edge list →

@@ -113,8 +113,12 @@ def ngrams_spark(col: str, n: int) -> str:
     # the split() re-evaluates PER SHINGLE, making this O(tokens²) per row.
     # Fine for oracles/small projections; in operators, project the token
     # array to a column first and use `ngrams_from_tokens_spark`.
+    # NOTE: Spark's sequence(1, 0) generates DESCENDING [1, 0] — the window
+    # count must be imposed by slice(), not by the sequence stop, or a doc
+    # with fewer than n tokens crashes slice() with index 0
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({tokens_spark(col)}) - {n - 1}, 0)), "
+        f"array_distinct(transform(slice(sequence(1, size({tokens_spark(col)})), 1, "
+        f"greatest(size({tokens_spark(col)}) - {n - 1}, 0)), "
         f"i -> array_join(slice({tokens_spark(col)}, i, {n}), ' ')))"
     )
 
@@ -123,7 +127,8 @@ def ngrams_all_from_tokens_spark(toks_col: str, n: int) -> str:
     """Non-deduplicated n-gram list over a token-array column — for
     frequency/repetition statistics (the distinct form is for set Jaccard)."""
     return (
-        f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 0)), "
+        f"transform(slice(sequence(1, size({toks_col})), 1, "
+        f"greatest(size({toks_col}) - {n - 1}, 0)), "
         f"i -> array_join(slice({toks_col}, i, {n}), ' '))"
     )
 
@@ -139,7 +144,8 @@ def ngrams_from_tokens_spark(toks_col: str, n: int) -> str:
     """Same shingle construction over a pre-materialized token-array COLUMN —
     the column reference is evaluated once per row, so this is O(tokens)."""
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 0)), "
+        f"array_distinct(transform(slice(sequence(1, size({toks_col})), 1, "
+        f"greatest(size({toks_col}) - {n - 1}, 0)), "
         f"i -> array_join(slice({toks_col}, i, {n}), ' ')))"
     )
 

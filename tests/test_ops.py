@@ -299,3 +299,37 @@ def test_ann_ivf_kmeans(emb):
     out = ann_ivf_topk(emb, query_ids=[0], k=3, n_cells=4, n_probe=2,
                        dim=8, seed=11, centroids=cents).collect()
     assert out and out[0]["neighbor_id"] == 1  # planted neighbor found
+
+
+def test_shared_window_pairs(spark):
+    from docling_spark.ops.dedup import shared_window_pairs
+
+    long_a = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, long_a),
+        (2, "intro words here " + " ".join(f"w{i}" for i in range(5, 28))),
+        (3, "completely different content with many other words entirely"),
+        (4, "tiny"),  # shorter than the window — must not crash
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared_windows"]
+           for r in shared_window_pairs(df, window=20).collect()}
+    # docs 1 and 2 share the exact 20-token windows w5..w27 (4 windows)
+    assert got.get((1, 2)) == 4
+    assert all(k == (1, 2) for k in got)
+
+
+def test_ngram_ops_safe_on_short_docs(spark):
+    # regression: Spark's sequence(1, 0) is DESCENDING — n-gram builders
+    # must yield [] for docs shorter than the window, never crash slice(0)
+    from docling_spark.ops.dedup import (
+        minhash_signature,
+        ngram_jaccard_pairs,
+        shared_window_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b"), (2, "x")], "doc_id long, text string")
+    assert shared_window_pairs(df, window=20).count() == 0
+    assert ngram_jaccard_pairs(df, n=3).count() == 1  # pair with jaccard 0.0
+    sig = minhash_signature(df).collect()
+    assert len(sig) == 2  # null signatures allowed, no crash
