@@ -178,14 +178,20 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shared_window_pairs(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", window: int = 20) -> DataFrame:
+                        text_col: str = "text", window: int = 20,
+                        max_df: int | None = None) -> DataFrame:
     """(id_a, id_b, n_shared_windows) — documents sharing ≥1 exact
     `window`-token span, the substring-duplication signal of the dedup
     literature (Lee et al., "Deduplicating Training Data Makes Language
     Models Better", ACL'22 — exact substring matching; re-expressed as a
     window-hash equi-join instead of a suffix array: at 100 TB only the
     8-byte window hashes shuffle, never text, and the join key distributes
-    uniformly)."""
+    uniformly).
+
+    `max_df` is the boilerplate guard: a window shared by more than max_df
+    documents (license headers, navigation chrome) is dropped BEFORE the
+    self-join — a single grouped count whose output re-joins by hash — so
+    one viral window can never drive the pair count quadratic."""
     wh = (
         docs.select(F.col(id_col), F.expr(P.tokens_spark(text_col)).alias("_tk"))
         .select(
@@ -199,6 +205,14 @@ def shared_window_pairs(docs: DataFrame, id_col: str = "doc_id",
             ).alias("wh"),
         )
     )
+    if max_df is not None:
+        keep = (
+            wh.groupBy("wh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("wh")
+        )
+        wh = wh.join(keep, "wh", "left_semi")
     a, b = wh.alias("a"), wh.alias("b")
     return (
         a.join(

@@ -333,3 +333,15 @@ def test_ngram_ops_safe_on_short_docs(spark):
     assert ngram_jaccard_pairs(df, n=3).count() == 1  # pair with jaccard 0.0
     sig = minhash_signature(df).collect()
     assert len(sig) == 2  # null signatures allowed, no crash
+
+
+def test_shared_window_max_df_guard(spark):
+    from docling_spark.ops.dedup import shared_window_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = [(i, boiler + f" unique tail {i}") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every pair shares the boilerplate windows
+    assert shared_window_pairs(df, window=20).count() == 10
+    # with the document-frequency guard those windows drop → no pairs
+    assert shared_window_pairs(df, window=20, max_df=3).count() == 0
