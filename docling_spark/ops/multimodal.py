@@ -2,18 +2,26 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched mapInPandas stages.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are STUBBED behind `_decode_image_stub` — a deterministic fake
-that derives pixel stats from the payload bytes. The Spark-side contract is
-real and tested: schemas, batch iteration, partition passthrough, and the
-narrow (shuffle-free) plan shape are exactly what a real decoder would use —
-swap the stub for the library call and nothing else changes.
+Decode strategy (no external codecs ship in this container — PIL/ffmpeg/
+torchaudio are absent):
+
+- REAL pure-Python decoders for the dependency-free public formats:
+  netpbm P5/P6 images (header + raw samples), RIFF/WAV PCM audio (stdlib
+  `wave`), and YUV4MPEG2 (y4m) uncompressed video (text header + FRAME
+  markers). These paths compute true dimensions/luma/duration/RMS/frame
+  counts and a true nearest-neighbour resize with netpbm re-encode.
+- Compressed formats (PNG/JPEG/MP3/MP4 …) fall back to the deterministic
+  STUB (`_decode_image_stub`/`_decode_audio_stub`) that derives stats from
+  the payload digest — swap in the library call and nothing else changes:
+  schemas, batch iteration, and the narrow plan shape are identical.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+import wave
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -34,6 +42,120 @@ AUDIO_FEATURES_DDL = (
     MEDIA_META_DDL
     + ", duration_s double, sample_rate int, rms double, decode_ok boolean"
 )
+
+
+# --- real decoders for dependency-free public formats ------------------------
+
+
+def _parse_netpbm(payload: bytes) -> Optional[Tuple[int, int, int, np.ndarray]]:
+    """P5 (grayscale) / P6 (RGB) binary netpbm → (width, height, channels,
+    samples uint8 HxWxC). Returns None if not netpbm. Header = magic,
+    whitespace-separated width/height/maxval with '#' comments, one
+    whitespace byte, then raw samples."""
+    if not payload.startswith((b"P5", b"P6")):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos = 2
+    fields: List[int] = []
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":  # comment to end of line
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos:pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            return None
+    if len(fields) < 3 or not payload[pos:pos + 1].isspace():
+        return None
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    need = w * h * channels
+    raw = payload[pos:pos + need]
+    if len(raw) < need:
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, channels)
+    return w, h, channels, arr
+
+
+def _encode_netpbm(arr: np.ndarray) -> bytes:
+    h, w, channels = arr.shape
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _luma(arr: np.ndarray) -> float:
+    """Mean luma in [0,1]: ITU-R 601 weights for RGB, plain mean for gray."""
+    if arr.shape[2] == 3:
+        y = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2])
+    else:
+        y = arr[:, :, 0].astype(np.float64)
+    return round(float(y.mean()) / 255.0, 6)
+
+
+def _decode_wav(payload: bytes) -> Optional[Tuple[float, int, float]]:
+    """RIFF/WAV PCM → (duration_s, sample_rate, rms in [0,1]); None if not
+    WAV. Pure stdlib (`wave`) + numpy."""
+    if not payload.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            sr = wf.getframerate()
+            n = wf.getnframes()
+            width = wf.getsampwidth()
+            frames = wf.readframes(n)
+    except Exception:
+        return None
+    if sr <= 0 or width not in (1, 2):
+        return None
+    if width == 2:
+        samples = np.frombuffer(frames, dtype=np.int16).astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    dur = round(n / sr, 6)
+    rms = round(float(np.sqrt((samples ** 2).mean())) if len(samples) else 0.0, 6)
+    return dur, sr, rms
+
+
+def _demux_y4m(payload: bytes) -> Optional[List[bytes]]:
+    """YUV4MPEG2 → list of raw frame byte blocks; None if not y4m. Header
+    line 'YUV4MPEG2 W<w> H<h> ...', then per frame 'FRAME...\\n' + w*h*3/2
+    bytes (4:2:0)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+    if not w or not h:
+        return None
+    frame_size = w * h * 3 // 2
+    frames: List[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            return None
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            return None
+        start = fnl + 1
+        if start + frame_size > len(payload):
+            return None
+        frames.append(payload[start:start + frame_size])
+        pos = start + frame_size
+    return frames
 
 
 def _decode_image_stub(payload: bytes):
@@ -84,13 +206,19 @@ def image_features(df: DataFrame, id_col: str = "media_id",
                 pdf[id_col], pdf[type_col], pdf[payload_col]
             ):
                 b = bytes(payload) if payload is not None else b""
-                try:
-                    w, h, luma = _decode_image_stub(b)
+                parsed = _parse_netpbm(b)
+                if parsed is not None:  # REAL decode (netpbm)
+                    w, h, _ch, arr = parsed
+                    luma = _luma(arr)
                     ok = True
-                except NotImplementedError:
-                    w = h = 0
-                    luma = 0.0
-                    ok = False
+                else:
+                    try:
+                        w, h, luma = _decode_image_stub(b)
+                        ok = True
+                    except NotImplementedError:
+                        w = h = 0
+                        luma = 0.0
+                        ok = False
                 rows.append(
                     (str(mid), str(mtype), len(b), hashlib.sha256(b).hexdigest(), w, h, luma, ok)
                 )
@@ -115,6 +243,13 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "media_id",
             ids, frames, shas = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
+                real = _demux_y4m(b)
+                if real is not None:  # REAL demux (YUV4MPEG2)
+                    for fno in range(0, len(real), every_n):
+                        ids.append(str(mid))
+                        frames.append(fno)
+                        shas.append(hashlib.sha256(real[fno]).hexdigest()[:16])
+                    continue
                 n_frames = 1 + (len(b) % 97)  # stub: a demuxer would count real frames
                 for fno in range(0, n_frames, every_n):
                     ids.append(str(mid))
@@ -152,14 +287,19 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
                 pdf[id_col], pdf[type_col], pdf[payload_col]
             ):
                 b = bytes(payload) if payload is not None else b""
-                try:
-                    dur, sr, rms = _decode_audio_stub(b)
+                wav = _decode_wav(b)
+                if wav is not None:  # REAL decode (RIFF/WAV PCM)
+                    dur, sr, rms = wav
                     ok = True
-                except NotImplementedError:
-                    dur = 0.0
-                    sr = 0
-                    rms = 0.0
-                    ok = False
+                else:
+                    try:
+                        dur, sr, rms = _decode_audio_stub(b)
+                        ok = True
+                    except NotImplementedError:
+                        dur = 0.0
+                        sr = 0
+                        rms = 0.0
+                        ok = False
                 rows.append(
                     (str(mid), str(mtype), len(b), hashlib.sha256(b).hexdigest(),
                      dur, sr, rms, ok)
@@ -189,6 +329,16 @@ def image_resize(df: DataFrame, max_side: int = 64, id_col: str = "media_id",
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
+                parsed = _parse_netpbm(b)
+                if parsed is not None:  # REAL nearest-neighbour resize
+                    w, h, _ch, arr = parsed
+                    scale = min(1.0, max_side / max(w, h))
+                    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                    ry = (np.arange(oh) * h // oh).clip(0, h - 1)
+                    rx = (np.arange(ow) * w // ow).clip(0, w - 1)
+                    thumb = _encode_netpbm(np.ascontiguousarray(arr[ry][:, rx]))
+                    rows.append((str(mid), w, h, ow, oh, thumb))
+                    continue
                 try:
                     w, h, _ = _decode_image_stub(b)
                 except NotImplementedError:
@@ -208,13 +358,56 @@ def image_resize(df: DataFrame, max_side: int = 64, id_col: str = "media_id",
     return df.mapInPandas(gen, schema=RESIZE_DDL)
 
 
+def synth_wav(rng: np.random.RandomState, sr: int = 16000,
+              duration_s: float = 0.25) -> bytes:
+    """Real RIFF/WAV PCM16 payload (stdlib wave writer), deterministic."""
+    n = int(sr * duration_s)
+    t = np.arange(n) / sr
+    freq = 200 + int(rng.randint(0, 800))
+    samples = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def synth_y4m(rng: np.random.RandomState, w: int = 16, h: int = 16,
+              n_frames: int = 24) -> bytes:
+    """Real YUV4MPEG2 payload (4:2:0), deterministic."""
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    for _ in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(bytes(rng.randint(0, 256, size=w * h * 3 // 2,
+                                     dtype=np.int32).astype(np.uint8)))
+    return b"".join(out)
+
+
 def synth_media_df(spark, n: int = 32, seed: int = 13) -> DataFrame:
-    """Deterministic fake media table (binary payloads + metadata)."""
+    """Deterministic media table mixing REAL payloads (P6/P5 netpbm images,
+    PCM WAV audio, y4m video — all decodable by the pure-Python paths) with
+    random-byte blobs that exercise the compressed-format stub fallback."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        size = int(rng.randint(16, 4096))
-        payload = bytes(rng.randint(0, 256, size=size, dtype=np.int32).astype(np.uint8))
-        mtype = ["image/png", "audio/wav", "video/mp4"][i % 3]
+        kind = i % 5
+        if kind == 0:  # real RGB netpbm
+            w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+            arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.int32).astype(np.uint8)
+            payload, mtype = _encode_netpbm(arr), "image/x-portable-pixmap"
+        elif kind == 1:  # real grayscale netpbm
+            w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+            arr = rng.randint(0, 256, size=(h, w, 1), dtype=np.int32).astype(np.uint8)
+            payload, mtype = _encode_netpbm(arr), "image/x-portable-graymap"
+        elif kind == 2:  # real WAV
+            payload, mtype = synth_wav(rng), "audio/wav"
+        elif kind == 3:  # real y4m video
+            payload, mtype = synth_y4m(rng, n_frames=int(rng.randint(5, 40))), "video/x-yuv4mpeg"
+        else:  # opaque bytes → stub fallback path
+            size = int(rng.randint(16, 4096))
+            payload = bytes(rng.randint(0, 256, size=size, dtype=np.int32).astype(np.uint8))
+            mtype = ["image/png", "audio/mp3", "video/mp4"][i % 3]
         rows.append((f"media-{i:04d}", mtype, bytearray(payload)))
     return spark.createDataFrame(rows, "media_id string, media_type string, payload binary")

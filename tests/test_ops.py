@@ -206,7 +206,8 @@ def test_multimodal_plumbing(spark):
 
     feats = image_features(media).collect()
     assert all(r["decode_ok"] for r in feats)
-    assert all(64 <= r["width"] < 256 for r in feats)
+    # mixed corpus: real netpbm (8-64 px) + stub fallback (64-255 px)
+    assert all(8 <= r["width"] < 256 for r in feats)
     # deterministic across runs
     feats2 = image_features(synth_media_df(spark, n=12, seed=13)).collect()
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
@@ -232,7 +233,8 @@ def test_multimodal_audio_and_resize(spark):
     assert len(audio) == 12
     assert all(r["decode_ok"] for r in audio)
     assert all(r["sample_rate"] in (8000, 16000, 22050, 44100) for r in audio)
-    assert all(0.5 <= r["duration_s"] <= 61.0 for r in audio)
+    # real WAVs are 0.25s; stub durations land in [0.5, 61]
+    assert all(0.25 <= r["duration_s"] <= 61.0 for r in audio)
 
     thumbs = image_resize(media, max_side=32).collect()
     for r in thumbs:
@@ -242,7 +244,15 @@ def test_multimodal_audio_and_resize(spark):
             assert r["out_width"] >= r["out_height"]
         else:
             assert r["out_height"] >= r["out_width"]
-        assert len(r["out_payload"]) == r["out_width"] * r["out_height"]
+        # real netpbm thumbs carry a header + w*h*channels samples; stub
+        # thumbs are exactly w*h digest bytes
+        from docling_spark.ops.multimodal import _parse_netpbm
+
+        parsed = _parse_netpbm(bytes(r["out_payload"]))
+        if parsed is not None:
+            assert (parsed[0], parsed[1]) == (r["out_width"], r["out_height"])
+        else:
+            assert len(r["out_payload"]) == r["out_width"] * r["out_height"]
     # deterministic + narrow plan
     thumbs2 = image_resize(synth_media_df(spark, n=12, seed=13), max_side=32).collect()
     assert sorted(map(str, thumbs)) == sorted(map(str, thumbs2))
@@ -345,3 +355,56 @@ def test_shared_window_max_df_guard(spark):
     assert shared_window_pairs(df, window=20).count() == 10
     # with the document-frequency guard those windows drop → no pairs
     assert shared_window_pairs(df, window=20, max_df=3).count() == 0
+
+
+def test_multimodal_real_decoders(spark):
+    import numpy as np
+
+    from docling_spark.ops.multimodal import (
+        _encode_netpbm,
+        audio_features,
+        frame_sample,
+        image_features,
+        image_resize,
+        synth_media_df,
+        synth_wav,
+        synth_y4m,
+    )
+
+    # exact-value image decode: 2x2 RGB with known pixels
+    arr = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+    ppm = _encode_netpbm(arr)
+    rng = np.random.RandomState(0)
+    wav = synth_wav(rng, sr=8000, duration_s=0.5)
+    y4m = synth_y4m(rng, w=8, h=8, n_frames=23)
+    df = spark.createDataFrame(
+        [("img", "image/x-portable-pixmap", bytearray(ppm)),
+         ("wav", "audio/wav", bytearray(wav)),
+         ("vid", "video/x-yuv4mpeg", bytearray(y4m)),
+         ("blob", "image/png", bytearray(b"\x89PNG fake payload bytes"))],
+        "media_id string, media_type string, payload binary",
+    )
+    img = {r["media_id"]: r for r in image_features(df).collect()}
+    assert (img["img"]["width"], img["img"]["height"]) == (2, 2)
+    expected_luma = round(float(
+        (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]).mean()
+    ) / 255.0, 6)
+    assert img["img"]["mean_luma"] == expected_luma
+    assert img["blob"]["decode_ok"]  # stub fallback still reports
+
+    aud = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert aud["wav"]["sample_rate"] == 8000
+    assert aud["wav"]["duration_s"] == 0.5
+    assert 0.2 < aud["wav"]["rms"] < 0.3  # sine rms = A/√2 = (12000/32768)/√2 ≈ 0.259
+
+    frames = [r for r in frame_sample(df, every_n=10).collect() if r["media_id"] == "vid"]
+    assert [f["frame_no"] for f in frames] == [0, 10, 20]  # 23 real frames
+
+    rz = {r["media_id"]: r for r in image_resize(df, max_side=1).collect()}
+    assert (rz["img"]["out_width"], rz["img"]["out_height"]) == (1, 1)
+    # the thumbnail is itself a decodable netpbm
+    from docling_spark.ops.multimodal import _parse_netpbm
+
+    parsed = _parse_netpbm(bytes(rz["img"]["out_payload"]))
+    assert parsed is not None and parsed[0] == 1 and parsed[1] == 1
