@@ -221,3 +221,29 @@ def test_reconstruct_never_raises_fuzz():
             assert k in NORMALIZED_KINDS, (k, t)
 
     run()
+
+
+def test_extract_passthrough_binds_by_declared_name_order(spark, corpus_path):
+    # ADVICE regression: mapInArrow binds positionally, so extra columns
+    # must emit in DECLARED order even when the input DataFrame's column
+    # order differs from the extra_cols string
+    from pyspark.sql import functions as F
+
+    from docling_spark.pipeline import extract
+
+    docs = (
+        spark.read.parquet(corpus_path)
+        .withColumn("beta", F.lit(7).cast("int"))       # input order: beta first
+        .withColumn("alpha", F.length("doc_id").cast("int"))
+    )
+    out = extract(docs, extra_cols=", alpha int, beta int")  # declared: alpha first
+    row = out.select("doc_id", "alpha", "beta").first()
+    assert row["beta"] == 7
+    assert row["alpha"] == len(row["doc_id"])
+
+    # undeclared extras must raise loudly, not mislabel
+    import pytest as _pytest
+
+    bad = extract(docs.drop("alpha"), extra_cols=", alpha int")
+    with _pytest.raises(Exception):
+        bad.collect()
