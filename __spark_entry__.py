@@ -933,6 +933,15 @@ def q_chunk_export_md(spark, sf_dir):
     return chunk_export_sink(norm, fmt="md", level="odsek")
 
 
+def q_chunk_export_json(spark, sf_dir):
+    # S8 .chunks.json writer; oracle-checked
+    from docling_spark.operators.serialize import chunk_export_sink
+
+    _ensure_workers(spark)
+    norm = spark.read.parquet(_normalized_path(sf_dir))
+    return chunk_export_sink(norm, fmt="json", level="odsek")
+
+
 def q_law_chunks(spark, sf_dir):
     """S8/K5 oracle-checked: the law-level chunker over the materialized
     normalized span table (the extraction stage itself is separately
@@ -1052,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_triplets": q_render_triplets,
         "chunk_export_rag": q_chunk_export_rag,
         "chunk_export_md": q_chunk_export_md,
+        "chunk_export_json": q_chunk_export_json,
         "doctags_sink": q_doctags_sink,
         "latex_sink": q_latex_sink,
         "hybrid_chunks": q_hybrid_chunks,
@@ -2143,6 +2153,49 @@ def _duck_chunk_export_rag_sql() -> str:
     """.replace("{{", "{").replace("}}", "}")
 
 
+def _duck_chunk_export_json_sql() -> str:
+    """S8 oracle: the .chunks.json payload (a JSON array of chunk dicts,
+    json.dumps indent=2 layout)."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    cte = _duck_chunk_folded_cte(path)
+    esc = _DUCK_JSON_ESC.format
+    chunk_str = (
+        "'  {' || chr(10)"
+        " || '    \"chunk_id\": \"' || " + esc(x="chunk_id") + " || '\",' || chr(10)"
+        " || '    \"level\": \"' || seg_kind || '\",' || chr(10)"
+        " || '    \"content\": \"' || " + esc(x="content") + " || '\",' || chr(10)"
+        " || '    \"headings\": ' || headings_json || ',' || chr(10)"
+        " || '    \"content_length\": ' || CAST(length(content) AS VARCHAR) || chr(10)"
+        " || '  }'"
+    )
+    return f"""
+        WITH {cte},
+        chunks AS (
+          SELECT doc_id, seg,
+                 doc_id || '/' || ltrim(coalesce(seg_ref, seg_text), '#') AS chunk_id,
+                 seg_kind, content,
+                 coalesce(stack, CAST([] AS VARCHAR[])) AS stack
+          FROM folded),
+        hjson AS (
+          SELECT *, CASE WHEN len(stack) = 0 THEN '[]'
+               ELSE '[' || chr(10) || array_to_string(
+                      list_transform(stack, h -> '      \"' || {esc(x='h')} || '\"'),
+                      ',' || chr(10)) || chr(10) || '    ]' END AS headings_json
+          FROM chunks),
+        rendered AS (
+          SELECT doc_id, seg, {chunk_str} AS cstr FROM hjson),
+        perdoc AS (
+          SELECT doc_id, string_agg(cstr, ',' || chr(10) ORDER BY seg) AS body
+          FROM rendered GROUP BY doc_id),
+        alldocs AS (SELECT DISTINCT doc_id FROM raw)
+        SELECT a.doc_id,
+               CASE WHEN p.body IS NULL THEN '[]'
+                    ELSE '[' || chr(10) || p.body || chr(10) || ']' END AS payload
+        FROM alldocs a LEFT JOIN perdoc p USING (doc_id)
+    """
+
+
 def _duck_chunk_export_md_sql() -> str:
     """S8 oracle: the .chunks.md payload (contents joined with the
     reference's '---' separator layout)."""
@@ -2600,6 +2653,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_full": _duck_extract_full_sql(),
         "chunk_export_rag": _duck_chunk_export_rag_sql(),
         "chunk_export_md": _duck_chunk_export_md_sql(),
+        "chunk_export_json": _duck_chunk_export_json_sql(),
         "annex_integration": _duck_annex_integration_sql(),
         "law_chunks": _duck_law_chunks_sql(),
         "markdown_sink": _duck_markdown_sink_sql(),
