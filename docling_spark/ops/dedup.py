@@ -69,14 +69,21 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_hashes: int = MINHASH_N_HASHES,
                        band_size: int = MINHASH_BAND_SIZE,
-                       shingle_n: int = MINHASH_SHINGLE_N) -> DataFrame:
+                       shingle_n: int = MINHASH_SHINGLE_N,
+                       materialize: bool = True) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) that collide in ≥1 LSH band.
 
     bands of `band_size` rows: docs agreeing on ALL rows of any band become
     candidates — an equi-self-join on (band_id, band_key). Documents too
     short to yield a shingle are excluded up front (their null signature
     would otherwise cross-match as an empty band key); shingles exist iff
-    token count ≥ shingle_n, so the guard is a cheap size predicate."""
+    token count ≥ shingle_n, so the guard is a cheap size predicate.
+
+    `materialize=True` localCheckpoints the banded keys before the
+    self-join: Spark has no subplan reuse, so both join sides would
+    otherwise recompute the shingle/signature pipeline — the standard
+    production shape writes the signature table once and joins it, and the
+    eager checkpoint is the in-query equivalent (~2x on the pair queries)."""
     docs = docs.filter(
         F.size(F.expr(P.tokens_spark(text_col))) >= F.lit(shingle_n)
     )
@@ -91,6 +98,8 @@ def minhash_band_pairs(docs: DataFrame, id_col: str = "doc_id",
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.band_key")
+    if materialize:
+        banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
