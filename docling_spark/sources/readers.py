@@ -41,6 +41,33 @@ DOCLING_JSON_SCHEMA = T.StructType(
             ),
         ),
         T.StructField(
+            "body",
+            T.StructType(
+                [
+                    T.StructField(
+                        "children",
+                        T.ArrayType(
+                            T.StructType([T.StructField("$ref", T.StringType())])
+                        ),
+                    )
+                ]
+            ),
+        ),
+        T.StructField(
+            "pictures",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("self_ref", T.StringType()),
+                        T.StructField(
+                            "image",
+                            T.StructType([T.StructField("uri", T.StringType())]),
+                        ),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
             "tables",
             T.ArrayType(
                 T.StructType(
@@ -102,7 +129,13 @@ def write_documents(df: DataFrame, target: str, n_buckets: int = 64,
 def read_docling_json(df: DataFrame, json_col: str = "payload",
                       id_col: str = "doc_id") -> DataFrame:
     """(doc_id, payload json-string) → (doc_id, spans) via from_json +
-    native array ops — fully JVM-side, no UDF."""
+    native array ops — fully JVM-side, no UDF.
+
+    Reading order: when `body.children` is present (the DoclingDocument
+    pointer array — document.py:2533-2564; RefItem `$ref` like '#/texts/4')
+    spans follow that pointer order, interleaving texts, tables and
+    pictures exactly as the reference's iterate_items DFS would. Payloads
+    without a body fall back to texts-then-tables order."""
     parsed = df.select(
         F.col(id_col).alias("doc_id"),
         F.from_json(F.col(json_col), DOCLING_JSON_SCHEMA).alias("d"),
@@ -126,9 +159,40 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
                 concat('#/tables/', ti, '/r', c.row, 'c', c.col) AS media_ref))))
         """
     )
+    one_text = (
+        "CASE WHEN t.label IN ('section_header', 'title', 'list_item', "
+        "'page_footer', 'page_header') THEN t.label ELSE 'text' END"
+    )
+    idx = "CAST(regexp_extract(c.`$ref`, '/([0-9]+)$', 1) AS INT)"
+    ordered_spans = F.expr(
+        f"""
+        flatten(transform(
+          filter(d.body.children, c -> c.`$ref` LIKE '#/texts/%'
+                 OR c.`$ref` LIKE '#/tables/%' OR c.`$ref` LIKE '#/pictures/%'),
+          c ->
+          CASE
+            WHEN c.`$ref` LIKE '#/texts/%' THEN
+              transform(slice(d.texts, {idx} + 1, 1),
+                t -> struct({one_text} AS kind, t.text AS text,
+                            t.hyperlink AS media_ref))
+            WHEN c.`$ref` LIKE '#/tables/%' THEN
+              transform(element_at(d.tables, {idx} + 1).cells,
+                cl -> struct('table_cell' AS kind, cl.text AS text,
+                  concat('#/tables/', {idx}, '/r', cl.row, 'c', cl.col) AS media_ref))
+            ELSE
+              transform(slice(d.pictures, {idx} + 1, 1),
+                p -> struct('media' AS kind, '' AS text,
+                            p.image.uri AS media_ref))
+          END))
+        """
+    )
+    spans_noidx = F.when(
+        F.expr("d.body IS NOT NULL AND d.body.children IS NOT NULL"),
+        ordered_spans,
+    ).otherwise(F.concat(text_spans, table_spans))
     return parsed.select(
         "doc_id",
-        F.concat(text_spans, table_spans).alias("spans_noidx"),
+        spans_noidx.alias("spans_noidx"),
     ).select(
         "doc_id",
         F.expr(

@@ -217,3 +217,45 @@ def test_streaming_serializer_composition(spark, corpus_path, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def test_read_docling_json_honors_body_reading_order(spark):
+    # the real DoclingDocument interleaves texts/tables/pictures via the
+    # body.children pointer array (document.py:2533-2564); spans must
+    # follow that order, not texts-then-tables
+    import json
+
+    from docling_spark.sources.readers import read_docling_json
+
+    payload = json.dumps({
+        "name": "d",
+        "body": {"children": [
+            {"$ref": "#/texts/1"},
+            {"$ref": "#/tables/0"},
+            {"$ref": "#/pictures/0"},
+            {"$ref": "#/texts/0"},
+        ]},
+        "texts": [
+            {"self_ref": "#/texts/0", "label": "text", "text": "second", "hyperlink": None},
+            {"self_ref": "#/texts/1", "label": "title", "text": "first", "hyperlink": "#x"},
+        ],
+        "tables": [
+            {"self_ref": "#/tables/0", "cells": [
+                {"row": 0, "col": 0, "text": "A"},
+                {"row": 0, "col": 1, "text": "B"},
+            ]},
+        ],
+        "pictures": [
+            {"self_ref": "#/pictures/0", "image": {"uri": "img://p0.png"}},
+        ],
+    })
+    df = spark.createDataFrame([("d1", payload)], "doc_id string, payload string")
+    out = read_docling_json(df).collect()[0]
+    spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["spans"]]
+    assert spans == [
+        ("title", "first", "#x", 0),
+        ("table_cell", "A", "#/tables/0/r0c0", 1),
+        ("table_cell", "B", "#/tables/0/r0c1", 2),
+        ("media", "", "img://p0.png", 3),
+        ("text", "second", None, 4),
+    ]
