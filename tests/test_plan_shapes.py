@@ -112,3 +112,44 @@ def test_dup_components_plan_has_no_cartesian(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     plan = dup_components(pairs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE config actually engages on a skewed shuffle join:
+    the finalized adaptive plan shows SortMergeJoin(skew=true) with skewed
+    AQEShuffleReads — the runtime re-plan the north rule relies on for
+    cross-document joins (thresholds lowered so local-scale data skews)."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, F.lit(7)).otherwise(F.col("id") % 40).alias("k"),
+            F.concat(F.lit("x" * 200), F.col("id").cast("string")).alias("payload"),
+        )
+        other = spark.range(0, 60000).select(
+            (F.col("id") % 40).alias("k"), F.col("id").alias("v")
+        )
+        j = big.join(other, "k").select(F.sum(F.length("payload") + F.col("v")))
+        j.collect()  # finalize THIS DataFrame's adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
