@@ -480,27 +480,39 @@ def q_repetition_stats(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    # simhash hamming-≤k pair search via pigeonhole block join (no all-pairs)
+    # simhash hamming-≤k pair search via pigeonhole block join (no all-pairs);
+    # library default = scale-safe Manku WWW'07 geometry (64-bit, 16-bit blocks)
     from docling_spark.ops.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(
-        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3
-    )
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # blocked self-join; exact integer outputs (intersection / union sizes)
+    # Blocked self-join with a PRODUCTION blocking key: minhash band 0 over
+    # the same 3-gram shingles (high-cardinality LSH bucket — the r1/r2 demo
+    # blocked on `lang`, ~5 distinct values → O(N²/5) compares at scale).
+    # Exact integer outputs (intersection / union sizes).
+    from docling_spark.ops.dedup import MINHASH_BAND_SIZE as R
+
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "lang", F.expr(P.tokens_spark("text")).alias("_tk")
-    ).select("doc_id", "lang", F.expr(P.ngrams_from_tokens_spark("_tk", 3)).alias("sh"))
+    mh = [P.minhash_spark("_shh", i) for i in range(R)]
+    band0 = "concat(" + ", ':', ".join(f"cast({m} as string)" for m in mh) + ")"
+    sh = (
+        docs.select("doc_id", F.expr(P.tokens_spark("text")).alias("_tk"))
+        .select("doc_id", F.expr(P.ngrams_from_tokens_spark("_tk", 3)).alias("sh"))
+        .select(
+            "doc_id", "sh",
+            F.expr(f"transform(sh, g -> {P.token_hash_spark('g')})").alias("_shh"),
+        )
+        .select("doc_id", "sh", F.expr(band0).alias("bk"))
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
     uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("long")
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -1208,29 +1220,70 @@ def _duck_repetition_sql() -> str:
     """
 
 
-def _duck_simhash_neardup_sql(bits: int = 32, max_hamming: int = 3) -> str:
-    th = P.token_hashes_duck("text")
+def _duck_ngram_jaccard_sql() -> str:
+    """Mirror of q_ngram_jaccard: minhash band-0 blocking over the same
+    3-gram shingles (docs with <3 tokens get a NULL key and drop out of the
+    equi-join in both engines — list_min/array_min over empty is NULL)."""
+    from docling_spark.ops.dedup import MINHASH_BAND_SIZE as R
+
+    mh = [P.minhash_duck("shh", i) for i in range(R)]
+    band0 = " || ':' || ".join(f"CAST({m} AS VARCHAR)" for m in mh)
+    return f"""
+        WITH tk AS (SELECT doc_id, {P.ngrams_duck('text', 3)} AS sh FROM documents),
+        shh AS (SELECT doc_id, sh,
+                       list_transform(sh, g -> {P.token_hash_duck('g')}) AS shh
+                FROM tk),
+        keyed AS (SELECT doc_id, sh, {band0} AS bk FROM shh)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_size
+        FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 10
+              >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+    """
+
+
+def _duck_simhash_fold(bits: int) -> str:
+    """Packed simhash expression over an `eh` extended-token-hash list column
+    — mirrors ops.dedup.simhash bit-for-bit (mask votes, bit 63 = -2^63)."""
     terms = []
     for j in range(bits):
+        mask = P.simhash_bit_mask_lit(j)
         vote = (
-            f"list_sum(list_transform(th, h -> CASE WHEN (h // {1 << j}) % 2 = 1 "
+            f"list_sum(list_transform(eh, h -> CASE WHEN (h & {mask}) != 0 "
             f"THEN 1 ELSE -1 END))"
         )
-        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
-    total = " + ".join(terms)
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({mask} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _duck_eh_cte() -> str:
+    th = P.token_hashes_duck("text")
+    ext = P.simhash_ext_duck("h")
+    return f"SELECT doc_id, list_transform({th}, h -> {ext}) AS eh FROM documents"
+
+
+def _duck_simhash_neardup_sql(bits: int = 64, max_hamming: int = 3) -> str:
+    total = _duck_simhash_fold(bits)
     n_blocks = max_hamming + 1
     width = bits // n_blocks
     block_rows = []
     for b in range(n_blocks):
         lo = b * width
         w = width if b < n_blocks - 1 else bits - lo
+        # logical (unsigned) shift of the signed fingerprint: two's-complement
+        # reinterpretation via HUGEINT (DuckDB has no shiftrightunsigned)
+        u = (
+            "(CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0 "
+            "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)"
+        )
         block_rows.append(
             f"SELECT doc_id, simhash, {b} AS block_id, "
-            f"(simhash // {1 << lo}) % {1 << w} AS block_val FROM sig"
+            f"CAST(({u} // {1 << lo}) % {1 << w} AS BIGINT) AS block_val FROM sig"
         )
     blocks = " UNION ALL ".join(block_rows)
     return f"""
-        WITH t AS (SELECT doc_id, {th} AS th FROM documents),
+        WITH t AS ({_duck_eh_cte()}),
         sig AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t),
         keyed AS ({blocks})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1289,18 +1342,10 @@ def _duck_dup_groups_sql() -> str:
     """
 
 
-def _duck_simhash_sql() -> str:
-    th = P.token_hashes_duck("text")
-    terms = []
-    for j in range(32):
-        vote = (
-            f"list_sum(list_transform(th, h -> CASE WHEN (h // {1 << j}) % 2 = 1 "
-            f"THEN 1 ELSE -1 END))"
-        )
-        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
-    total = " + ".join(terms)
+def _duck_simhash_sql(bits: int = 64) -> str:
+    total = _duck_simhash_fold(bits)
     return (
-        f"WITH t AS (SELECT doc_id, {th} AS th FROM documents) "
+        f"WITH t AS ({_duck_eh_cte()}) "
         f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM t"
     )
 
@@ -1729,6 +1774,14 @@ _DUCK_HTML_ESC = (
     "'>', '&gt;'), chr(10), '<br>')"
 )
 
+# attribute position (img src/alt): quote=True escaping, exact replacement
+# order of Python html.escape (&, <, >, then \", then ')
+_DUCK_HTML_ATTR_ESC = (
+    "replace(replace(replace(replace(replace(replace({x}, '&', '&amp;'), "
+    "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), chr(39), '&#x27;'), "
+    "chr(10), '<br>')"
+)
+
 
 def _duck_sink_base_cte(path: str) -> str:
     """Shared segmentation for the serializer-sink oracles: spans → blocks.
@@ -1877,6 +1930,8 @@ def _duck_html_sink_sql() -> str:
     sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = _normalized_path(sf_dir)
     esc = _DUCK_HTML_ESC.format(x="coalesce(text, '')")
+    esca = _DUCK_HTML_ATTR_ESC.format(x="coalesce(text, '')")
+    escr = _DUCK_HTML_ATTR_ESC.format(x="coalesce(ref, '')")
     escc = _DUCK_HTML_ESC.format(x="c.ct")
     return f"""
         WITH {_duck_sink_base_cte(path)},
@@ -1889,8 +1944,8 @@ def _duck_html_sink_sql() -> str:
                    WHEN kind = 'paragraph_title' THEN '<h3>' || {esc} || '</h3>'
                    WHEN kind IN ('odsek','pismeno','subitem','footnote')
                         THEN '<p><b>' || {esc} || '</b></p>'
-                   WHEN kind = 'media' THEN '<figure><img src="' || coalesce(ref,'')
-                        || '" alt="' || {esc} || '" /></figure>'
+                   WHEN kind = 'media' THEN '<figure><img src="' || {escr}
+                        || '" alt="' || {esca} || '" /></figure>'
                    WHEN kind = 'caption' THEN '<figcaption>' || {esc} || '</figcaption>'
                    ELSE '<p>' || {esc} || '</p>'
                  END AS block
@@ -2600,15 +2655,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": _duck_minhash_sig_sql(),
         "minhash_band_pairs": _duck_minhash_pairs_sql(),
-        "ngram_jaccard": f"""
-            WITH sh AS (SELECT doc_id, lang, {P.ngrams_duck('text', 3)} AS sh FROM documents)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
-                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_size
-            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 10
-                  >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-        """,
+        "ngram_jaccard": _duck_ngram_jaccard_sql(),
         "simhash": _duck_simhash_sql(),
         "ann_cosine_topk": _duck_ann_cosine_sql(),
         "ann_lsh_buckets": _duck_lsh_sql(),

@@ -138,6 +138,14 @@ def _esc(text: str) -> str:
     return _html.escape(text or "", quote=False).replace("\n", "<br>")
 
 
+def _esc_attr(text: str) -> str:
+    """Attribute-position escaping (img src/alt): quote=True so a '"' in
+    span text or media_ref cannot break out of the attribute."""
+    import html as _html
+
+    return _html.escape(text or "", quote=True).replace("\n", "<br>")
+
+
 def render_html(spans: List[Span]) -> str:
     """One document's normalized spans → HTML string (body fragment)."""
     out: List[str] = []
@@ -194,7 +202,9 @@ def render_html(spans: List[Span]) -> str:
         elif kind in ("odsek", "pismeno", "subitem", "footnote"):
             out.append(f"<p><b>{_esc(text)}</b></p>")
         elif kind == "media":
-            out.append(f'<figure><img src="{ref or ""}" alt="{_esc(text)}" /></figure>')
+            out.append(
+                f'<figure><img src="{_esc_attr(ref)}" alt="{_esc_attr(text)}" /></figure>'
+            )
         elif kind == "caption":
             out.append(f"<figcaption>{_esc(text)}</figcaption>")
         else:

@@ -143,7 +143,7 @@ def minhash_candidate_stats(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text", bits: int = 32,
+                          text_col: str = "text", bits: int = 64,
                           max_hamming: int = 3) -> DataFrame:
     """(id_a, id_b, hamming) pairs with simhash hamming distance ≤
     `max_hamming`, found WITHOUT an all-pairs compare.
@@ -153,7 +153,14 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     any pair within distance k agrees on ≥1 whole block — explode per
     block, equi-join on (block_id, block_value), verify exact hamming via
     bit_count(xor). The block join is the same shuffle shape as the
-    minhash band join; candidates ≈ N²/2^(bits/(k+1)) per block at random."""
+    minhash band join; candidates ≈ N²/2^(bits/(k+1)) per block at random.
+
+    Default geometry is the paper's: 64-bit fingerprint, k=3 → four 16-bit
+    blocks → expected random collisions ≈ N²/2¹⁶ per block. (A 32-bit
+    fingerprint at k=3 gives 8-bit blocks → N²/2⁸ — quadratic blow-up at
+    10⁹ docs; keep `bits=64` in production.) Block values are extracted
+    with an unsigned shift + mask so the sign bit (bit 63) of the packed
+    fingerprint is handled like any other bit."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
     sig = simhash(docs, id_col, text_col, bits)
@@ -161,7 +168,7 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     for b in range(n_blocks):
         lo = b * width
         w = width if b < n_blocks - 1 else bits - lo  # last takes remainder
-        val = F.expr(f"(simhash div {1 << lo}) % {1 << w}")
+        val = F.expr(f"shiftrightunsigned(simhash, {lo}) & {(1 << w) - 1}L")
         blocks.append(F.struct(F.lit(b).alias("block_id"), val.alias("block_val")))
     keyed = sig.select(
         F.col(id_col), F.col("simhash"),
@@ -331,21 +338,33 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 32) -> DataFrame:
+            bits: int = 64) -> DataFrame:
     """(doc_id, simhash) — bit-majority fingerprint over token hashes.
 
-    Near-dups have small hamming distance; pair search buckets on rotated
-    prefixes (not included here — simhash itself is the operator)."""
-    hashes = F.expr(P.token_hashes_spark(text_col))
-    d = docs.select(F.col(id_col), hashes.alias("_th"))
+    Default is the 64-bit fingerprint of Manku/Jain/Sarma (WWW'07), the
+    geometry `simhash_neardup_pairs` blocks on. The polynomial token hash
+    has only ~30 live bits (mod 1e9+7), so each token is first expanded to
+    a full 64-bit value via four universal-hash limbs
+    (`portable.simhash_ext_spark`) — materialized ONCE per token as a
+    column, then each bit's majority vote is a cheap mask-test fold (no
+    per-bit rehash). Bit 63 rides the sign bit (two's complement), which
+    both engines' BIGINT share, so the packed value stays oracle-exact."""
+    ext = P.simhash_ext_spark("h")
+    d = docs.select(
+        F.col(id_col),
+        F.expr(f"transform({P.token_hashes_spark(text_col)}, h -> {ext})").alias("_eh"),
+    )
     terms = []
     for j in range(bits):
-        # vote for bit j: +1 if set in token hash, -1 otherwise
+        mask_lit = P.simhash_bit_mask_lit(j)
+        # vote for bit j: +1 if set in the extended token hash, -1 otherwise
         vote = F.expr(
-            f"aggregate(_th, 0L, (acc, h) -> acc + "
-            f"(CASE WHEN CAST(h / {1 << j} AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))"
+            f"aggregate(_eh, 0L, (acc, h) -> acc + "
+            f"(CASE WHEN (h & {mask_lit}) != 0 THEN 1 ELSE -1 END))"
         )
-        terms.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        terms.append(
+            F.when(vote > 0, F.lit(P.simhash_bit_mask(j))).otherwise(F.lit(0))
+        )
     total = terms[0]
     for t in terms[1:]:
         total = total + t

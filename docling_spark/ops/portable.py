@@ -155,3 +155,45 @@ def ngrams_duck(col: str, n: int) -> str:
         f"list_distinct(list_transform(range(1, greatest(len({tokens_duck(col)}) - {n - 1}, 0) + 1), "
         f"i -> array_to_string(list_slice({tokens_duck(col)}, i, i + {n - 1}), ' ')))"
     )
+
+
+# --- 64-bit extension for simhash ------------------------------------------
+# The polynomial token hash is mod P ≈ 1e9 (~30 live bits); a 64-bit simhash
+# (Manku/Jain/Sarma WWW'07 geometry: 16-bit pigeonhole blocks at k=3) needs
+# 64 independent bit votes per token. Four universal-hash limbs
+# rᵢ = (Aᵢ·h + Bᵢ) mod P supply 30+30+3+1 bits packed into one signed
+# BIGINT (bit 63 enters as the two's-complement literal -2^63, so the packed
+# sum never overflows: r1 + r2·2^30 + (r3%8)·2^60 < 2^63).
+SIMHASH_EXT_A = [982451653, 57885161, 2996863034, 868687]
+SIMHASH_EXT_B = [899809363, 304250263, 20996011, 259002588]
+
+
+def simhash_ext_spark(h: str) -> str:
+    r = [f"(({a}L * {h} + {b}L) % {MOD})"
+         for a, b in zip(SIMHASH_EXT_A, SIMHASH_EXT_B)]
+    return (
+        f"({r[0]} + {r[1]} * {1 << 30}L + ({r[2]} % 8) * {1 << 60}L"
+        f" + CASE WHEN {r[3]} % 2 = 1 THEN {-(1 << 63)}L ELSE 0L END)"
+    )
+
+
+def simhash_ext_duck(h: str) -> str:
+    r = [f"(({a}::BIGINT * {h} + {b}::BIGINT) % {MOD})"
+         for a, b in zip(SIMHASH_EXT_A, SIMHASH_EXT_B)]
+    return (
+        f"({r[0]} + {r[1]} * {1 << 30}::BIGINT + ({r[2]} % 8) * {1 << 60}::BIGINT"
+        f" + CASE WHEN {r[3]} % 2 = 1 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    )
+
+
+def simhash_bit_mask(j: int) -> int:
+    """Single-bit mask as a signed-BIGINT value (bit 63 = -2^63)."""
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
+def simhash_bit_mask_lit(j: int) -> str:
+    """Same mask as SQL text, parse-safe in both dialects: a bare
+    -9223372036854775808 literal overflows BIGINT lexing (the negation
+    applies after the out-of-range magnitude), so bit 63 is spelled as
+    an in-range expression."""
+    return str(1 << j) if j < 63 else "(-9223372036854775807 - 1)"

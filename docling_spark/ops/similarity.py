@@ -193,10 +193,14 @@ def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
         )
         .select(F.col(id_col).alias("query_id"), F.col("v").alias("q"), "cell")
     )
-    corpus = corpus.withColumn("vnorm", F.sqrt(_dot("v", "v")))
-    q_probed = q_probed.withColumn("qnorm", F.sqrt(_dot("q", "q")))
+    # Alias both sides: they descend from the same `emb` lineage, and an
+    # unaliased corpus["cell"] == q_probed["cell"] makes Spark log
+    # "trivially true equals predicate" and fall back to its self-join
+    # disambiguation heuristic — correct today but version-fragile.
+    corpus = corpus.withColumn("vnorm", F.sqrt(_dot("v", "v"))).alias("c")
+    q_probed = q_probed.withColumn("qnorm", F.sqrt(_dot("q", "q"))).alias("q")
     joined = corpus.join(
-        F.broadcast(q_probed), corpus["cell"] == q_probed["cell"]
+        F.broadcast(q_probed), F.col("c.cell") == F.col("q.cell")
     ).filter(F.col(id_col) != F.col("query_id"))
     cos = _dot("q", "v") / (F.col("qnorm") * F.col("vnorm"))
     w = Window.partitionBy("query_id").orderBy(

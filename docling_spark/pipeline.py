@@ -190,9 +190,17 @@ def extract(df, extra_cols: str = ""):
     column without a join. Arrow-native marshaling — see
     _extract_record_batch."""
     schema = DOC_DDL + extra_cols
-    declared_extra = [
-        part.strip().split()[0] for part in extra_cols.split(",") if part.strip()
-    ]
+    # Parse declared names with a real DDL parse — naive ','-splitting
+    # mis-tokenizes parameterized types like ", price decimal(10,2)".
+    if extra_cols.strip():
+        from pyspark.sql.types import _parse_datatype_string
+
+        extra_struct = _parse_datatype_string(
+            f"struct<{extra_cols.strip().lstrip(',')}>"
+        )
+        declared_extra = [f.name for f in extra_struct.fields]
+    else:
+        declared_extra = []
 
     def gen(batches):
         for rb in batches:

@@ -163,12 +163,20 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
         "CASE WHEN t.label IN ('section_header', 'title', 'list_item', "
         "'page_footer', 'page_header') THEN t.label ELSE 'text' END"
     )
-    idx = "CAST(regexp_extract(c.`$ref`, '/([0-9]+)$', 1) AS INT)"
+    # Malformed refs must degrade per-document, not kill the distributed read:
+    # under Spark 4 ANSI mode a non-numeric tail ('#/texts/abc') would raise
+    # CAST_INVALID_INPUT and an out-of-range index ('#/tables/99') would raise
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT. The filter therefore requires a full
+    # '#/<kind>/<digits>$' match AND an in-bounds try_cast index; the table
+    # branch additionally uses try_element_at + coalesce as defense in depth.
+    idx = "try_cast(regexp_extract(c.`$ref`, '/([0-9]+)$', 1) AS INT)"
     ordered_spans = F.expr(
         f"""
         flatten(transform(
-          filter(d.body.children, c -> c.`$ref` LIKE '#/texts/%'
-                 OR c.`$ref` LIKE '#/tables/%' OR c.`$ref` LIKE '#/pictures/%'),
+          filter(d.body.children, c ->
+                 (c.`$ref` RLIKE '^#/texts/[0-9]+$' AND {idx} < size(d.texts))
+              OR (c.`$ref` RLIKE '^#/tables/[0-9]+$' AND {idx} < size(d.tables))
+              OR (c.`$ref` RLIKE '^#/pictures/[0-9]+$' AND {idx} < size(d.pictures))),
           c ->
           CASE
             WHEN c.`$ref` LIKE '#/texts/%' THEN
@@ -176,9 +184,11 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
                 t -> struct({one_text} AS kind, t.text AS text,
                             t.hyperlink AS media_ref))
             WHEN c.`$ref` LIKE '#/tables/%' THEN
-              transform(element_at(d.tables, {idx} + 1).cells,
-                cl -> struct('table_cell' AS kind, cl.text AS text,
-                  concat('#/tables/', {idx}, '/r', cl.row, 'c', cl.col) AS media_ref))
+              coalesce(
+                transform(try_element_at(d.tables, {idx} + 1).cells,
+                  cl -> struct('table_cell' AS kind, cl.text AS text,
+                    concat('#/tables/', {idx}, '/r', cl.row, 'c', cl.col) AS media_ref)),
+                array())
             ELSE
               transform(slice(d.pictures, {idx} + 1, 1),
                 p -> struct('media' AS kind, '' AS text,

@@ -84,7 +84,8 @@ def test_simhash_hamming(docs):
 
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[1] == sh[2]
-    ham = lambda a, b: bin(a ^ b).count("1")
+    # 64-bit fingerprints are signed longs — mask before popcount
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
     assert ham(sh[1], sh[3]) < ham(sh[1], sh[5])
 
 

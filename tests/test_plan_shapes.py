@@ -60,6 +60,22 @@ def test_ann_ivf_cell_join_broadcasts_queries(emb):
     assert "BroadcastHashJoin" in plan  # the tiny probed-query side
 
 
+def test_ann_ivf_join_condition_binds_distinct_attributes(emb):
+    # Both join sides descend from the same `emb` lineage; without explicit
+    # aliases Spark resolved cell == cell via its trivially-true-predicate
+    # self-join heuristic (logged WARN, version-fragile). The analyzed plan
+    # must show the equi-join bound to two DIFFERENT expression IDs.
+    import re
+
+    from docling_spark.ops.similarity import ann_ivf_topk
+
+    df = ann_ivf_topk(emb, query_ids=[0], k=3, n_cells=4, n_probe=2, dim=8)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    m = re.search(r"cell#(\d+)L? = cell#(\d+)L?", analyzed)
+    assert m, f"no cell equi-join found in analyzed plan:\n{analyzed}"
+    assert m.group(1) != m.group(2), "join condition collapsed to cell == cell"
+
+
 def test_exact_cosine_broadcasts_query_side(emb):
     from docling_spark.ops.similarity import cosine_topk
 

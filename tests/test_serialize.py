@@ -311,3 +311,16 @@ def regen_latex():
             spans = [tuple(s) for s in json.load(f)]
         with open(os.path.join(gdir, f"{doc_id}.tex"), "w") as f:
             f.write(render_latex(spans))
+
+
+def test_render_html_attribute_injection_escaped():
+    # ADVICE regression: a '"' in span text or media_ref used to break out
+    # of the img src/alt attribute and produce injectable HTML
+    from docling_spark.operators.serialize import render_html
+
+    h = render_html([
+        ("media", 'x" onerror="alert(1)', 'img://a"b.png'),
+    ])
+    assert 'src="img://a&quot;b.png"' in h
+    assert 'alt="x&quot; onerror=&quot;alert(1)"' in h
+    assert '" onerror="' not in h

@@ -259,3 +259,42 @@ def test_read_docling_json_honors_body_reading_order(spark):
         ("media", "", "img://p0.png", 3),
         ("text", "second", None, 4),
     ]
+
+
+def test_read_docling_json_tolerates_malformed_refs(spark):
+    # Under Spark 4 ANSI mode (default in this env) a bad pointer used to
+    # kill the whole read: '#/tables/3' past the array end raised
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT, '#/texts/abc' raised
+    # CAST_INVALID_INPUT. Malformed refs must be dropped per-document
+    # while well-formed refs in the same doc still resolve.
+    import json
+
+    from docling_spark.sources.readers import read_docling_json
+
+    payload = json.dumps({
+        "name": "d",
+        "body": {"children": [
+            {"$ref": "#/texts/0"},
+            {"$ref": "#/tables/3"},          # out of range (1 table)
+            {"$ref": "#/texts/abc"},         # non-numeric tail
+            {"$ref": "#/texts/99999999999999999999"},  # int overflow
+            {"$ref": "#/pictures/5"},        # out of range (0 pictures)
+            {"$ref": "#/tables/0"},
+        ]},
+        "texts": [
+            {"self_ref": "#/texts/0", "label": "text", "text": "ok", "hyperlink": None},
+        ],
+        "tables": [
+            {"self_ref": "#/tables/0", "cells": [
+                {"row": 0, "col": 0, "text": "A"},
+            ]},
+        ],
+        "pictures": [],
+    })
+    df = spark.createDataFrame([("d1", payload)], "doc_id string, payload string")
+    out = read_docling_json(df).collect()[0]
+    spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["spans"]]
+    assert spans == [
+        ("text", "ok", None, 0),
+        ("table_cell", "A", "#/tables/0/r0c0", 1),
+    ]

@@ -247,3 +247,19 @@ def test_extract_passthrough_binds_by_declared_name_order(spark, corpus_path):
     bad = extract(docs.drop("alpha"), extra_cols=", alpha int")
     with _pytest.raises(Exception):
         bad.collect()
+
+
+def test_extract_passthrough_parameterized_type_ddl(spark, corpus_path):
+    # ADVICE regression: ", price decimal(10,2)" used to be ','-split into a
+    # bogus column name '2)'; declared names must come from a real DDL parse
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from docling_spark.pipeline import extract
+
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "price", F.lit("12.34").cast("decimal(10,2)")
+    )
+    out = extract(docs, extra_cols=", price decimal(10,2)")
+    assert out.select("price").first()["price"] == Decimal("12.34")
