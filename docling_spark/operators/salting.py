@@ -46,6 +46,8 @@ def salt_by_weight(df: DataFrame, num_partitions: int, n_buckets: int = 64) -> D
     point where even this shuffle is unwanted, `pipeline.rebalance` (uniform
     hash) remains the default path.
     """
+    import math
+
     w = df.withColumn("weight", F.size("spans"))
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = sorted(set(w.stat.approxQuantile("weight", probs, 0.001)))
@@ -58,22 +60,50 @@ def salt_by_weight(df: DataFrame, num_partitions: int, n_buckets: int = 64) -> D
         (r["bucket"], r["n"])
         for r in w.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     )
+    # Degenerate distributions (most docs share one weight) collapse the
+    # quantile cuts, dumping nearly all rows into one bucket — which would
+    # make the per-bucket window an effectively global single-partition
+    # sort. Sub-salt any bucket holding more than ~2× the target share by
+    # hash(doc_id): docs inside one weight-range bucket are interchangeable
+    # for balance, so hash sub-buckets keep the deal balanced (each
+    # sub-bucket is still dealt weight-descending) while the widest window
+    # partition stays bounded by ~2·N/n_buckets rows.
+    total = sum(counts.values())
+    target = max(1, math.ceil(total / n_buckets))
+    sub_k = {b: max(1, math.ceil(c / (2 * target))) for b, c in counts.items()}
+    sub_col = F.lit(0)
+    for b, k in sub_k.items():
+        if k > 1:
+            sub_col = F.when(
+                F.col("bucket") == b, F.pmod(F.xxhash64("doc_id"), F.lit(k))
+            ).otherwise(sub_col)
+    w = w.withColumn("sub", sub_col.cast("int"))
+    if max(sub_k.values()) > 1:
+        pair_counts = dict(
+            ((r["bucket"], r["sub"]), r["n"])
+            for r in w.groupBy("bucket", "sub").agg(F.count("*").alias("n")).collect()
+        )
+    else:
+        pair_counts = {(b, 0): c for b, c in counts.items()}
     offsets = {}
     acc = 0
     for b in range(len(cuts) + 1):  # ascending bucket id = descending weight
-        offsets[b] = acc
-        acc += counts.get(b, 0)
+        for s in range(sub_k.get(b, 1)):
+            offsets[(b, s)] = acc
+            acc += pair_counts.get((b, s), 0)
     off_col = F.lit(0)
-    for b, off in offsets.items():
+    for (b, s), off in offsets.items():
         if off:
-            off_col = F.when(F.col("bucket") == b, F.lit(off)).otherwise(off_col)
-    per_bucket = Window.partitionBy("bucket").orderBy(
+            off_col = F.when(
+                (F.col("bucket") == b) & (F.col("sub") == s), F.lit(off)
+            ).otherwise(off_col)
+    per_bucket = Window.partitionBy("bucket", "sub").orderBy(
         F.col("weight").desc(), F.col("doc_id")
     )
     salted = w.withColumn(
         "salt",
         ((off_col + F.row_number().over(per_bucket) - 1) % num_partitions).cast("int"),
-    ).drop("weight", "bucket")
+    ).drop("weight", "bucket", "sub")
     # range partitioning maps the n distinct salts ~1:1 onto n partitions
     # (hash repartition would collide salts and re-skew)
     return salted.repartitionByRange(num_partitions, "salt").drop("salt")

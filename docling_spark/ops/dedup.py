@@ -244,20 +244,31 @@ def shared_window_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def dup_components(pairs: DataFrame, id_a: str = "id_a",
-                   id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
+                   id_b: str = "id_b", max_iters: int = 50,
+                   algorithm: str = "label_prop",
+                   on_nonconverged: str = "raise") -> DataFrame:
     """Connected components over a duplicate-pair edge list →
     (doc_id, component_id) where component_id = min doc_id in the group.
 
-    Iterative min-label propagation: each node repeatedly adopts the
-    smallest label among itself and its neighbours until a fixpoint — the
-    standard Spark CC loop (HashToMin family; converges in O(diameter)
-    rounds, and near-dup graphs are unions of small cliques, so 2-3 rounds
-    in practice). Per round: one grouped min over the undirected edge list
-    joined to current labels — all hash shuffles on node id. At larger
-    diameters switch to the large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) — same join primitives. localCheckpoint truncates the lineage
-    so the loop's plan doesn't grow per iteration."""
+    `algorithm="label_prop"` (default): iterative min-label propagation —
+    each node repeatedly adopts the smallest label among itself and its
+    neighbours until a fixpoint — the standard Spark CC loop (HashToMin
+    family; converges in O(diameter) rounds, and near-dup graphs are unions
+    of small cliques, so 2-3 rounds in practice). Per round: one grouped
+    min over the undirected edge list joined to current labels — all hash
+    shuffles on node id. localCheckpoint truncates the lineage so the
+    loop's plan doesn't grow per iteration.
+
+    `algorithm="star"`: the large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+    rounds on ANY graph shape, for mega-components / long chains where
+    O(diameter) is too many rounds. Same join primitives.
+
+    Exhausting `max_iters` without a fixpoint would silently return
+    over-split labels; `on_nonconverged` controls that: "raise" (default)
+    or "warn" (log and return the partial labels)."""
+    if algorithm == "star":
+        return _dup_components_star(pairs, id_a, id_b, max_iters, on_nonconverged)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -296,8 +307,101 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        _nonconverged(max_iters, on_nonconverged)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def _nonconverged(max_iters: int, action: str) -> None:
+    msg = (
+        f"connected components did not reach a fixpoint in {max_iters} "
+        f"iterations — labels would be over-split (a chain-shaped component "
+        f"longer than max_iters hops). Raise max_iters or use "
+        f'algorithm="star" (O(log n) rounds).'
+    )
+    if action == "warn":
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    else:
+        raise RuntimeError(msg)
+
+
+def _dup_components_star(pairs: DataFrame, id_a: str, id_b: str,
+                         max_iters: int, on_nonconverged: str) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris SoCC'14 §3).
+
+    Invariants per round: large-star hangs every strictly-larger neighbor
+    of u onto m = min(Γ(u) ∪ {u}) — the emitted edges all point big→small;
+    small-star then re-hangs u and its smaller neighbors onto the local
+    min. At the fixpoint every node has exactly one outgoing edge to its
+    component minimum (a star), so labels read directly off the edge list.
+    Convergence in O(log n) rounds regardless of diameter; the fixpoint
+    check is a (count, xor-of-hashes) checksum — two cheap aggregates, no
+    full edge-set diff."""
+    e0 = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    directed = e0.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint()
+
+    def _checksum(df: DataFrame) -> tuple:
+        # bit_xor is order-insensitive and cannot overflow (edges are
+        # distinct, so xor-cancellation of duplicates is not a concern)
+        row = df.select(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(directed)
+    for _ in range(max_iters):
+        sym = directed.union(directed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the directed big→small output: mn(u) = min(N(u) ∪ {u});
+        # re-hang u and all its (smaller) neighbors onto mn
+        mn = large.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+        with_m = large.join(mn, "u")
+        small = (
+            with_m.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mn.select(F.col("u"), F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        directed = small
+        cur = _checksum(directed)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        _nonconverged(max_iters, on_nonconverged)
+    # at the fixpoint `directed` is a star forest: node → component min;
+    # component minima have no outgoing edge and label themselves
+    return nodes.join(
+        directed.select(F.col("u").alias("node"), F.col("v").alias("root")),
+        "node", "left",
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce(F.col("root"), F.col("node")).alias("component_id"),
     )
 
 

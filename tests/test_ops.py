@@ -409,3 +409,48 @@ def test_multimodal_real_decoders(spark):
 
     parsed = _parse_netpbm(bytes(rz["img"]["out_payload"]))
     assert parsed is not None and parsed[0] == 1 and parsed[1] == 1
+
+
+def test_dup_components_star_matches_label_prop(spark):
+    # the two CC algorithms must produce identical components on an
+    # arbitrary mixed graph (cliques + chains + isolated pairs)
+    import random
+
+    from docling_spark.ops.dedup import dup_components
+
+    rng = random.Random(7)
+    edges = set()
+    for base in (0, 100, 200):           # three 6-cliques
+        members = [base + i for i in range(6)]
+        edges |= {(a, b) for a in members for b in members if a < b}
+    edges |= {(300 + i, 300 + i + 1) for i in range(15)}   # a 16-node chain
+    edges |= {(400, 401), (500, 501)}                      # isolated pairs
+    rows = [(a, b) for a, b in sorted(edges)]
+    rng.shuffle(rows)
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    lp = {r["doc_id"]: r["component_id"]
+          for r in dup_components(pairs).collect()}
+    st = {r["doc_id"]: r["component_id"]
+          for r in dup_components(pairs, algorithm="star").collect()}
+    assert lp == st
+    assert lp[305] == 300 and lp[105] == 100 and lp[501] == 500
+
+
+def test_dup_components_nonconvergence_raises_and_star_converges(spark):
+    # ADVICE regression: a chain longer than max_iters hops used to return
+    # silently over-split labels; now it raises. The star contraction
+    # converges in O(log n) rounds on the same graph.
+    import pytest as _pytest
+
+    from docling_spark.ops.dedup import dup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        dup_components(chain, max_iters=5).collect()
+    with _pytest.warns(RuntimeWarning, match="fixpoint"):
+        dup_components(chain, max_iters=5, on_nonconverged="warn").collect()
+    st = {r["doc_id"]: r["component_id"]
+          for r in dup_components(chain, algorithm="star", max_iters=12).collect()}
+    assert set(st.values()) == {0} and len(st) == 61

@@ -97,3 +97,37 @@ def test_extract_full_end_to_end(spark, corpus_path):
     base_n = extract(df).selectExpr("sum(size(spans))").collect()[0][0]
     full_n = full.selectExpr("sum(size(spans))").collect()[0][0]
     assert full_n >= base_n
+
+
+def test_salting_degenerate_uniform_weight_subsalts(spark):
+    # ADVICE regression: when (nearly) all docs share one weight the
+    # quantile cuts collapse into a single bucket; the dominant bucket must
+    # be hash-sub-salted so the widest window partition stays bounded —
+    # never an effectively global single-partition sort.
+    import contextlib
+    import io
+
+    rows = [
+        (f"doc{i:04d}", [("text", "x", None, 0)] * 10)  # identical weight
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    salted = salt_by_weight(df, 8, n_buckets=16)
+    assert salted.count() == 400
+    sizes = [
+        r["n"]
+        for r in salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) <= 2 * max(1, min(sizes))  # still balanced
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted.explain(True)
+    assert "SinglePartition" not in buf.getvalue()
+    # the window key must include the sub-salt, and sub-bucketing must be
+    # active (window partition spec carries both bucket and sub)
+    assert "windowspecdefinition(bucket" in buf.getvalue() and "sub#" in buf.getvalue()
