@@ -246,17 +246,58 @@ def _first_href(node: _Node) -> Optional[str]:
     return None
 
 
+# inline formatting tags → flag chars (docling Formatting model,
+# document.py:1607-1614: bold/italic/underline/strikethrough; the HTML
+# backend maps b/strong→bold, i/em→italic, u→underline, del/s/strike→
+# strikethrough)
+_FMT_TAGS = {
+    "b": "B", "strong": "B",
+    "i": "I", "em": "I",
+    "u": "U",
+    "del": "S", "s": "S", "strike": "S",
+}
+_FMT_ORDER = "BIUS"
+
+
+def _collect_fmt(node: _Node) -> Tuple[str, Optional[str]]:
+    """(flags, href) union over a formatted inline subtree. One flag set per
+    emitted span — the same granularity as docling's per-TextItem
+    `Formatting` (document.py:1617-1639): a partially-bold run is emitted
+    as a bold span, not split."""
+    flags: set = set()
+    href: List[Optional[str]] = [None]
+
+    def rec(n: _Node) -> None:
+        f = _FMT_TAGS.get(n.tag)
+        if f:
+            flags.add(f)
+        if n.tag == "a" and n.attrs.get("href") and href[0] is None:
+            href[0] = n.attrs["href"]
+        for c in n.children:
+            rec(c)
+
+    rec(node)
+    return "".join(x for x in _FMT_ORDER if x in flags), href[0]
+
+
 def _classes(node: _Node) -> set:
     return set((node.attrs.get("class") or "").split())
 
 
-def extract_html_spans(html: str) -> List[Span]:
+def extract_html_spans(html: str, with_formatting: bool = False) -> List[Span]:
     """Flatten one slov-lex-shaped HTML payload into ordered spans.
 
     Structural divs keep their anchor ids as media_ref (the hyperlink-primary
     marker path, sequential_parser.py:129-178); furniture containers emit
     `page_footer`/`page_header` spans for the downstream strip; `<img>` →
     `media` spans; `<title>` → a `title` span.
+
+    `with_formatting=True` returns 4-tuples (kind, text, media_ref, fmt)
+    where fmt ⊆ "BIUS" captures inline <b>/<strong>/<i>/<em>/<u>/<del>/<s>
+    runs in content divs (docling Formatting model, document.py:1607-1614).
+    This flat formatted stream feeds the formatting-aware sinks directly;
+    the hierarchy state machine merges spans and therefore drops the
+    per-item flags (same granularity loss docling would hit merging items).
     """
     root = _fast_parse(html)
     if root is None:
@@ -264,24 +305,27 @@ def extract_html_spans(html: str) -> List[Span]:
         builder.feed(html)
         builder.close()  # flush buffered trailing data (e.g. a bare '&')
         root = builder.root
-    return _extract_from_root(root)
+    return _extract_from_root(root, with_formatting)
 
 
-def extract_html_spans_robust(html: str) -> List[Span]:
+def extract_html_spans_robust(html: str, with_formatting: bool = False) -> List[Span]:
     """Force the stdlib-parser path (the fast≡robust equivalence test uses
     this; production uses extract_html_spans which picks automatically)."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()  # flush buffered trailing data (e.g. a bare '&')
-    return _extract_from_root(builder.root)
+    return _extract_from_root(builder.root, with_formatting)
 
 
-def _extract_from_root(root: _Node) -> List[Span]:
+def _extract_from_root(root: _Node, with_formatting: bool = False) -> List[Span]:
     spans: List[Span] = []
 
-    def emit(kind: str, text: str, media_ref: Optional[str]) -> None:
+    def emit(kind: str, text: str, media_ref: Optional[str], fmt: str = "") -> None:
         if text or kind == "media":
-            spans.append((kind, text, media_ref))
+            if with_formatting:
+                spans.append((kind, text, media_ref, fmt))
+            else:
+                spans.append((kind, text, media_ref))
 
     def walk(node: _Node, furniture: bool, unit_id: Optional[str]) -> None:
         cls = _classes(node)
@@ -319,15 +363,28 @@ def _extract_from_root(root: _Node) -> List[Span]:
             kind = "page_footer" if here_furniture else "text"
             parts = dict_groupby(node.text_parts)
             buf: List[str] = []
-            link = _first_href(node) if not any(
+            # formatted mode keeps hyperlinks scoped to their anchor spans
+            # (the legacy stream attaches a lone div-level href to every
+            # run — the hyperlink-primary marker parity path)
+            link = _first_href(node) if not with_formatting and not any(
                 _classes(c) & (_MARKER_CLASSES | {"text"}) or c.tag == "div"
                 for c in node.children
             ) else None
 
+            # continuation tracking (formatted mode): the second and later
+            # inline fragments of one content div carry a 'c' flag so the
+            # sinks can rejoin them into a single flowing paragraph
+            in_para = [False]
+
+            def emit_inline(text: str, ref, flags: str = "") -> None:
+                fmt = flags + ("c" if (with_formatting and in_para[0]) else "")
+                emit(kind, text, ref, fmt)
+                in_para[0] = True
+
             def flush() -> None:
                 t = _WS_RE.sub(" ", "".join(buf)).strip()
                 if t:
-                    emit(kind, t, link)
+                    emit_inline(t, link)
                 buf.clear()
 
             for slot in range(len(node.children) + 1):
@@ -337,16 +394,27 @@ def _extract_from_root(root: _Node) -> List[Span]:
                     child = node.children[slot]
                     if child.tag == "div":
                         flush()
+                        in_para[0] = False  # nested block breaks the paragraph
                         walk(child, here_furniture, here_unit)
                     elif child.tag == "img":
                         flush()
+                        in_para[0] = False
                         walk(child, here_furniture, here_unit)
                     elif child.tag == "a":
                         href = child.attrs.get("href")
                         t = _node_text(child)
                         if t:
                             flush()
-                            emit(kind, t, href)
+                            # formatting tags nested inside the anchor
+                            # (<a><b>x</b></a>) ride the same span
+                            fmt = _collect_fmt(child)[0] if with_formatting else ""
+                            emit_inline(t, href, fmt)
+                    elif with_formatting and child.tag in _FMT_TAGS:
+                        t = _node_text(child)
+                        if t:
+                            flush()
+                            fmt, href = _collect_fmt(child)
+                            emit_inline(t, href, fmt)
                     elif child.tag == "sup":
                         t = _node_text(child)
                         if t:

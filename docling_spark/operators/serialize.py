@@ -17,6 +17,7 @@ Reference semantics mirrored (original implementation):
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import pandas as pd
@@ -24,6 +25,85 @@ import pandas as pd
 from docling_spark.schema import CHUNK_DDL
 
 Span = Tuple[str, str, Optional[str]]
+
+# ---------------------------------------------------------------------------
+# Inline formatting (optional 4th span element, flags ⊆ "BIUS"):
+# B=bold I=italic U=underline S=strikethrough; a hyperlink rides the span's
+# media_ref. Formatted spans follow docling-core's serializer rules exactly
+# (fuzz-verified against the reference's own escaping functions in
+# tests/test_serialize.py):
+# - markdown: escape '_' outside image-URL patterns (markdown.py:745-776),
+#   html.escape(quote=False) (markdown.py:778-792), then wrap in
+#   **bold** / *italic* / ~~strike~~ (underline is a no-op in markdown —
+#   common.py:537 default not overridden), hyperlink [text](url) OUTERMOST
+#   (application order common.py:509-524).
+# - html: escaped text wrapped in <strong>/<em>/<u>/<del>, hyperlink
+#   <a href="..."> outermost (html.py:943-980).
+# Unformatted spans keep the legacy byte-exact rendering (which mirrors the
+# reference APPLICATION layer's own markdown sink, sequential_parser.py:
+# 5038-5186 — that path does not escape).
+# ---------------------------------------------------------------------------
+
+_MD_IMG_URL_RE = re.compile(r"!\[.*?\]\((.*?)\)")
+_MD_UNDERSCORE_RE = re.compile(r"(?<!\\)_")
+
+
+def _md_escape_underscores(text: str) -> str:
+    """Escape '_' but leave image URLs intact — the exact algorithm of
+    MarkdownDocSerializer._escape_underscores (markdown.py:745-776)."""
+    parts: List[str] = []
+    last_end = 0
+    for match in _MD_IMG_URL_RE.finditer(text):
+        parts.append(_MD_UNDERSCORE_RE.sub(r"\\_", text[last_end:match.start()]))
+        parts.append(match.group(0))
+        last_end = match.end()
+    if last_end < len(text):
+        parts.append(_MD_UNDERSCORE_RE.sub(r"\\_", text[last_end:]))
+    return "".join(parts)
+
+
+def _md_post_process(text: str, fmt: str, hyperlink: Optional[str]) -> str:
+    """docling-core markdown post_process for one formatted span."""
+    import html as _h
+
+    res = _h.escape(_md_escape_underscores(text or ""), quote=False)
+    if "B" in fmt:
+        res = f"**{res}**"
+    if "I" in fmt:
+        res = f"*{res}*"
+    # underline: markdown has no override — no-op (common.py:537)
+    if "S" in fmt:
+        res = f"~~{res}~~"
+    if hyperlink:
+        res = f"[{res}]({hyperlink})"
+    return res
+
+
+def _html_post_process(text: str, fmt: str, hyperlink: Optional[str]) -> str:
+    """docling-core HTML post_process for one formatted span."""
+    res = _esc(text)
+    if "B" in fmt:
+        res = f"<strong>{res}</strong>"
+    if "I" in fmt:
+        res = f"<em>{res}</em>"
+    if "U" in fmt:
+        res = f"<u>{res}</u>"
+    if "S" in fmt:
+        res = f"<del>{res}</del>"
+    if hyperlink:
+        res = f'<a href="{_esc_attr(hyperlink)}">{res}</a>'
+    return res
+
+
+def _with_fmt(spans) -> List[Tuple[str, str, Optional[str], str]]:
+    """Normalize 3- or 4-element spans to 4-tuples (fmt defaults '')."""
+    out = []
+    for s in spans:
+        if len(s) >= 4:
+            out.append((s[0], s[1], s[2], s[3] or ""))
+        else:
+            out.append((s[0], s[1], s[2], ""))
+    return out
 
 _HEADING_LEVELS = {
     "title": "#",
@@ -36,10 +116,28 @@ _HEADING_LEVELS = {
 
 
 def render_markdown(spans: List[Span]) -> str:
-    """One document's normalized spans → markdown string."""
+    """One document's normalized spans → markdown string.
+
+    Two modes, switched by the span arity:
+    - 3-tuples (kind, text, ref): the legacy byte-exact rendering mirroring
+      the reference application layer's own sink (sequential_parser.py:
+      5038-5186) — no escaping, one block per span.
+    - any 4-tuple present → FORMATTED mode: every span renders under
+      docling-core's serializer rules (_md_post_process: underscore +
+      html escaping, **B** */I/* ~~S~~ wrappers, [text](url) hyperlinks),
+      and fragments flagged 'c' (continuation) rejoin into one flowing
+      paragraph — the stream `extract_html_formatted` produces."""
+    formatted = any(len(s) >= 4 for s in spans)
     out: List[str] = []
     table_rows: List[List[str]] = []
     table_idx: Optional[str] = None
+    pending: List[str] = []  # inline fragments of the current paragraph
+
+    def flush_para() -> None:
+        if pending:
+            out.append(" ".join(pending))
+            out.append("")
+            pending.clear()
 
     def flush_table() -> None:
         nonlocal table_rows, table_idx
@@ -54,9 +152,12 @@ def render_markdown(spans: List[Span]) -> str:
         table_rows = []
         table_idx = None
 
-    for kind, text, ref in spans:
+    for kind, text, ref, fmt in _with_fmt(spans):
         if kind == "table_cell":
-            # ref shape '#/tables/i/rRcC' — row-major arrival order
+            # ref shape '#/tables/i/rRcC' — row-major arrival order;
+            # the structural ref is never a hyperlink
+            flush_para()
+            disp = _md_post_process(text, fmt, None) if formatted else text
             tid = (ref or "").split("/r")[0]
             if table_idx is not None and tid != table_idx:
                 flush_table()
@@ -66,26 +167,36 @@ def render_markdown(spans: List[Span]) -> str:
             r = int(head) if head.isdigit() else 0
             while len(table_rows) <= r:
                 table_rows.append([])
-            table_rows[r].append(text)
+            table_rows[r].append(disp)
             continue
         flush_table()
+        disp = _md_post_process(text, fmt, ref) if formatted else text
         if kind in _HEADING_LEVELS:
-            out.append(f"{_HEADING_LEVELS[kind]} {text}")
+            flush_para()
+            out.append(f"{_HEADING_LEVELS[kind]} {disp}")
             out.append("")
         elif kind in ("odsek", "pismeno", "subitem", "footnote"):
-            out.append(f"**{text}**")
+            flush_para()
+            out.append(f"**{disp}**")
         elif kind == "media":
+            flush_para()
             out.append(f"![{text}]({ref})")
             out.append("")
         elif kind == "list_item":
-            out.append(f"- {text}")
+            flush_para()
+            out.append(f"- {disp}")
         elif kind == "caption":
-            out.append(f"*{text}*")
+            flush_para()
+            out.append(f"*{disp}*")
             out.append("")
         else:
-            out.append(text)
-            out.append("")
+            if "c" not in fmt:
+                flush_para()
+            pending.append(disp)
+            if not formatted:
+                flush_para()
     flush_table()
+    flush_para()
     return "\n".join(out).strip() + "\n"
 
 
@@ -95,17 +206,34 @@ def _iter_spans(spans):
     # Arrow hands array<struct> to pandas as a numpy array of dicts (or None)
     return [] if spans is None else list(spans)
 
+def _spans_with_optional_fmt(pdf: pd.DataFrame):
+    """Yield per-doc span tuple lists, zipping an `fmt` column (array<string>
+    index-aligned with spans — the optional formatting channel; the
+    normalized `spans` struct itself stays the BASELINE 4-field shape) when
+    the frame carries one."""
+    has_fmt = "fmt" in pdf.columns
+    for i, spans in enumerate(pdf["spans"]):
+        ss = _iter_spans(spans)
+        if has_fmt:
+            raw_fmt = pdf["fmt"].iloc[i]
+            fmts = [] if raw_fmt is None else list(raw_fmt)
+            fmts += [""] * (len(ss) - len(fmts))
+            yield [
+                (s["kind"], s["text"], s["media_ref"], fmts[j])
+                for j, s in enumerate(ss)
+            ]
+        else:
+            yield [(s["kind"], s["text"], s["media_ref"]) for s in ss]
+
+
 def markdown_sink(df):
-    """normalized documents → (doc_id, markdown)."""
+    """normalized documents → (doc_id, markdown). An optional `fmt` column
+    (array<string> aligned with spans, flags ⊆ "BIUS") switches the spans it
+    marks to docling-core-rule formatted rendering."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            md = [
-                render_markdown(
-                    [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)]
-                )
-                for spans in pdf["spans"]
-            ]
+            md = [render_markdown(ss) for ss in _spans_with_optional_fmt(pdf)]
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "markdown": md})
 
     return df.mapInPandas(gen, schema="doc_id string, markdown string")
@@ -147,11 +275,22 @@ def _esc_attr(text: str) -> str:
 
 
 def render_html(spans: List[Span]) -> str:
-    """One document's normalized spans → HTML string (body fragment)."""
+    """One document's normalized spans → HTML string (body fragment).
+
+    Mode switch mirrors render_markdown: 3-tuples = legacy byte-exact;
+    any 4-tuple = formatted mode (docling-core wrapper/escaping rules,
+    'c'-flagged fragments rejoin into one <p>)."""
+    formatted = any(len(s) >= 4 for s in spans)
     out: List[str] = []
     table_rows: List[List[str]] = []
     table_idx: Optional[str] = None
     in_list = False
+    pending: List[str] = []  # inline fragments of the current paragraph
+
+    def flush_para() -> None:
+        if pending:
+            out.append(f"<p>{' '.join(pending)}</p>")
+            pending.clear()
 
     def flush_list() -> None:
         nonlocal in_list
@@ -173,8 +312,9 @@ def render_html(spans: List[Span]) -> str:
         table_rows = []
         table_idx = None
 
-    for kind, text, ref in spans:
+    for kind, text, ref, fmt in _with_fmt(spans):
         if kind == "table_cell":
+            flush_para()
             flush_list()
             tid = (ref or "").split("/r")[0]
             if table_idx is not None and tid != table_idx:
@@ -185,47 +325,57 @@ def render_html(spans: List[Span]) -> str:
             r = int(head) if head.isdigit() else 0
             while len(table_rows) <= r:
                 table_rows.append([])
-            # cell text stripped + escaped like html.py:387
-            table_rows[r].append(_esc((text or "").strip()))
+            # cell text stripped + escaped like html.py:387; structural ref
+            # is never a hyperlink
+            cell = (text or "").strip()
+            table_rows[r].append(
+                _html_post_process(cell, fmt, None) if formatted else _esc(cell)
+            )
             continue
         flush_table()
+        disp = _html_post_process(text, fmt, ref) if formatted else _esc(text)
         if kind == "list_item":
+            flush_para()
             if not in_list:
                 out.append("<ul>")
                 in_list = True
-            out.append(f"<li>{_esc(text)}</li>")
+            out.append(f"<li>{disp}</li>")
             continue
         flush_list()
         if kind in _HTML_HEADING_TAG:
+            flush_para()
             tag = _HTML_HEADING_TAG[kind]
-            out.append(f"<{tag}>{_esc(text)}</{tag}>")
+            out.append(f"<{tag}>{disp}</{tag}>")
         elif kind in ("odsek", "pismeno", "subitem", "footnote"):
-            out.append(f"<p><b>{_esc(text)}</b></p>")
+            flush_para()
+            out.append(f"<p><b>{disp}</b></p>")
         elif kind == "media":
+            flush_para()
             out.append(
                 f'<figure><img src="{_esc_attr(ref)}" alt="{_esc_attr(text)}" /></figure>'
             )
         elif kind == "caption":
-            out.append(f"<figcaption>{_esc(text)}</figcaption>")
+            flush_para()
+            out.append(f"<figcaption>{disp}</figcaption>")
         else:
-            out.append(f"<p>{_esc(text)}</p>")
+            if "c" not in fmt:
+                flush_para()
+            pending.append(disp)
+            if not formatted:
+                flush_para()
     flush_table()
     flush_list()
+    flush_para()
     return "\n".join(out) + ("\n" if out else "")
 
 
 def html_sink(df):
     """normalized documents → (doc_id, html). Same zero-shuffle mapInPandas
-    shape as markdown_sink."""
+    shape as markdown_sink; honors the same optional `fmt` column."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rendered = [
-                render_html(
-                    [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)]
-                )
-                for spans in pdf["spans"]
-            ]
+            rendered = [render_html(ss) for ss in _spans_with_optional_fmt(pdf)]
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "html": rendered})
 
     return df.mapInPandas(gen, schema="doc_id string, html string")

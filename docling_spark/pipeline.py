@@ -100,6 +100,48 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return result
 
 
+def extract_html_formatted(df):
+    """HTML documents → the flat formatted span stream:
+    (doc_id, spans, fmt) where `spans` keeps the BASELINE 4-field shape and
+    `fmt: array<string>` carries index-aligned inline-formatting flags
+    (⊆ "BIUS"; hyperlinks ride media_ref as usual). Feeds the
+    formatting-aware sinks — `markdown_sink`/`html_sink` detect the `fmt`
+    column and render those spans under docling-core's serializer rules
+    (bold/italic/strikethrough/hyperlink + escaping).
+
+    Flat stream by design: the hierarchy state machine merges spans, which
+    collapses per-item formatting (docling has the same per-TextItem
+    granularity — document.py:1617-1639). Same narrow zero-shuffle
+    mapInPandas shape as `extract`. Non-HTML span kinds pass through with
+    empty flags."""
+    schema = DOC_DDL + ", fmt array<string>"
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_spans, out_fmt = [], []
+            for raw in pdf["spans"]:
+                flat: List[tuple] = []
+                for kind, text, ref in _as_tuples(raw):
+                    if kind == "html_bytes":
+                        flat.extend(extract_html_spans(text, with_formatting=True))
+                    else:
+                        flat.append((kind, text, ref, ""))
+                out_spans.append(
+                    [
+                        {"kind": k, "text": t, "media_ref": r, "offset": i}
+                        for i, (k, t, r, _f) in enumerate(flat)
+                    ]
+                )
+                out_fmt.append([f for (_k, _t, _r, f) in flat])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "spans": out_spans, "fmt": out_fmt}
+            )
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def extract_pandas(df, extra_cols: str = ""):
     """mapInPandas form of the extraction stage (kept for the arrow≡pandas
     equivalence test; `extract` below is the production path)."""

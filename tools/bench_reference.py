@@ -31,7 +31,12 @@ REFERENCE = "/root/reference"
 
 
 def _stub(name: str, attrs=None) -> types.ModuleType:
+    import importlib.machinery
+
     m = types.ModuleType(name)
+    # a real ModuleSpec keeps importlib.util.find_spec() working on the stub
+    # (pyspark.testing.utils probes tabulate with it and raises on spec None)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in (attrs or {}).items():
         setattr(m, k, v)
     sys.modules[name] = m
@@ -70,6 +75,12 @@ def _install_import_stubs() -> None:
         "tabulate",
         {"tabulate": lambda rows, **kw: "\n".join(" | ".join(map(str, r)) for r in rows)},
     )
+    # the HTML serializer imports latex2mathml at module level (html.py:14);
+    # only the formula path calls it, which our tests never exercise
+    l2m = _stub("latex2mathml")
+    l2m.converter = _stub("latex2mathml.converter")
+    l2m.converter.convert = _Any
+    l2m.converter.convert_to_element = _Any
     real_version = md.version
     md.version = lambda n: "2.0.0" if n == "docling-core" else real_version(n)
 
