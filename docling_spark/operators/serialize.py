@@ -95,6 +95,43 @@ def _html_post_process(text: str, fmt: str, hyperlink: Optional[str]) -> str:
     return res
 
 
+# key-value / form span kinds (docling-JSON reader flattening of
+# document.py:2560-2562 GraphData items): a `kv`/`form_field` span carries a
+# key cell's text, immediately followed by one or more `kv_value`/
+# `form_value` spans. Consecutive pairs with the same key merge (the
+# reference serializer's value_links grouping, html.py:585-598).
+_KV_KEY_KINDS = {"kv": "key-value-region", "form_field": "form-container"}
+_KV_VALUE_OF = {"kv_value": "kv", "form_value": "form_field"}
+
+
+class _KvRegion:
+    """Accumulates one contiguous key-value/form region during a render."""
+
+    def __init__(self) -> None:
+        self.kind: Optional[str] = None  # 'kv' | 'form_field'
+        self.pairs: List[Tuple[str, List[str]]] = []
+
+    def feed(self, kind: str, text: str) -> bool:
+        """Consume a kv-family span; returns False if `kind` opens a NEW
+        region (different family) and the current one must flush first."""
+        if kind in _KV_KEY_KINDS:
+            if self.kind is not None and self.kind != kind:
+                return False
+            self.kind = kind
+            # consecutive same-key pairs merge into one multi-value entry
+            if not (self.pairs and self.pairs[-1][0] == text):
+                self.pairs.append((text, []))
+        else:  # value span
+            fam = _KV_VALUE_OF[kind]
+            if self.kind is not None and self.kind != fam:
+                return False
+            self.kind = fam
+            if not self.pairs:
+                self.pairs.append(("", []))
+            self.pairs[-1][1].append(text)
+        return True
+
+
 def _with_fmt(spans) -> List[Tuple[str, str, Optional[str], str]]:
     """Normalize 3- or 4-element spans to 4-tuples (fmt defaults '')."""
     out = []
@@ -132,12 +169,24 @@ def render_markdown(spans: List[Span]) -> str:
     table_rows: List[List[str]] = []
     table_idx: Optional[str] = None
     pending: List[str] = []  # inline fragments of the current paragraph
+    kv = _KvRegion()
 
     def flush_para() -> None:
         if pending:
             out.append(" ".join(pending))
             out.append("")
             pending.clear()
+
+    def flush_kv() -> None:
+        # '**key**: v1, v2' definition lines (the reference's own markdown
+        # serializer is a TODO stub emitting '<!-- missing-key-value-item
+        # -->', markdown.py:553-573 — we render the content instead)
+        nonlocal kv
+        if kv.pairs:
+            for k, vals in kv.pairs:
+                out.append(f"**{k}**: {', '.join(vals)}")
+            out.append("")
+        kv = _KvRegion()
 
     def flush_table() -> None:
         nonlocal table_rows, table_idx
@@ -153,6 +202,14 @@ def render_markdown(spans: List[Span]) -> str:
         table_idx = None
 
     for kind, text, ref, fmt in _with_fmt(spans):
+        if kind in _KV_KEY_KINDS or kind in _KV_VALUE_OF:
+            flush_para()
+            flush_table()
+            if not kv.feed(kind, text):
+                flush_kv()
+                kv.feed(kind, text)
+            continue
+        flush_kv()
         if kind == "table_cell":
             # ref shape '#/tables/i/rRcC' — row-major arrival order;
             # the structural ref is never a hyperlink
@@ -197,6 +254,7 @@ def render_markdown(spans: List[Span]) -> str:
                 flush_para()
     flush_table()
     flush_para()
+    flush_kv()
     return "\n".join(out).strip() + "\n"
 
 
@@ -286,11 +344,31 @@ def render_html(spans: List[Span]) -> str:
     table_idx: Optional[str] = None
     in_list = False
     pending: List[str] = []  # inline fragments of the current paragraph
+    kv = _KvRegion()
 
     def flush_para() -> None:
         if pending:
             out.append(f"<p>{' '.join(pending)}</p>")
             pending.clear()
+
+    def flush_kv() -> None:
+        # flat <dl> inside a classed <div> — the reference's no-hierarchy
+        # graph rendering (html.py:585-598; wrapper classes 654-726);
+        # html.escape with default quote=True exactly as the reference does
+        nonlocal kv
+        if kv.pairs:
+            import html as _h
+
+            cls = _KV_KEY_KINDS[kv.kind or "kv"]
+            out.append(f'<div class="{cls}">')
+            out.append(f'<dl class="{cls}">')
+            for k, vals in kv.pairs:
+                out.append(f"<dt>{_h.escape(k)}</dt>")
+                for v in vals:
+                    out.append(f"<dd>{_h.escape(v)}</dd>")
+            out.append("</dl>")
+            out.append("</div>")
+        kv = _KvRegion()
 
     def flush_list() -> None:
         nonlocal in_list
@@ -313,6 +391,15 @@ def render_html(spans: List[Span]) -> str:
         table_idx = None
 
     for kind, text, ref, fmt in _with_fmt(spans):
+        if kind in _KV_KEY_KINDS or kind in _KV_VALUE_OF:
+            flush_para()
+            flush_list()
+            flush_table()
+            if not kv.feed(kind, text):
+                flush_kv()
+                kv.feed(kind, text)
+            continue
+        flush_kv()
         if kind == "table_cell":
             flush_para()
             flush_list()
@@ -366,6 +453,7 @@ def render_html(spans: List[Span]) -> str:
     flush_table()
     flush_list()
     flush_para()
+    flush_kv()
     return "\n".join(out) + ("\n" if out else "")
 
 

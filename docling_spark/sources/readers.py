@@ -22,6 +22,49 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from docling_spark.schema import DOC_SCHEMA
 
+_GRAPH_ITEM_ARRAY = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("self_ref", T.StringType()),
+            T.StructField(
+                "graph",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "cells",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("cell_id", T.IntegerType()),
+                                        T.StructField("label", T.StringType()),
+                                        T.StructField("text", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                        T.StructField(
+                            "links",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("label", T.StringType()),
+                                        T.StructField(
+                                            "source_cell_id", T.IntegerType()
+                                        ),
+                                        T.StructField(
+                                            "target_cell_id", T.IntegerType()
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+)
+
 # minimal docling-JSON shape: flat text items + tables, reading order given
 # by body children indices (document.py:2533-2564 subset)
 DOCLING_JSON_SCHEMA = T.StructType(
@@ -89,6 +132,10 @@ DOCLING_JSON_SCHEMA = T.StructType(
                 )
             ),
         ),
+        # key-value / form items (document.py:2560-2562): GraphData of
+        # labeled cells + (source → target) links (document.py:2403-2436)
+        T.StructField("key_value_items", _GRAPH_ITEM_ARRAY),
+        T.StructField("form_items", _GRAPH_ITEM_ARRAY),
     ]
 )
 
@@ -170,13 +217,41 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
     # '#/<kind>/<digits>$' match AND an in-bounds try_cast index; the table
     # branch additionally uses try_element_at + coalesce as defense in depth.
     idx = "try_cast(regexp_extract(c.`$ref`, '/([0-9]+)$', 1) AS INT)"
+
+    def _graph_pairs(arr: str, key_kind: str, val_kind: str) -> str:
+        """Flatten one graph item's to_value links into (key, value) span
+        pairs — each link whose source AND target cells resolve yields a
+        `key_kind` span (the key cell text) followed by a `val_kind` span
+        (the value cell text), both carrying the item ref. Link order is
+        preserved (= the reference serializer's first-seen key order,
+        html.py:585-598); to_child hierarchy links are structural only.
+        Dangling links are dropped per-item, not fatal (ANSI-safe)."""
+        g = f"try_element_at(d.{arr}, {idx} + 1).graph"
+        by_id = "element_at(filter({g}.cells, cl -> cl.cell_id = l.{side}_cell_id), 1)"
+        src = by_id.format(g=g, side="source")
+        tgt = by_id.format(g=g, side="target")
+        return f"""
+              coalesce(flatten(transform(
+                filter({g}.links, l -> l.label = 'to_value'
+                  AND exists({g}.cells, cl -> cl.cell_id = l.source_cell_id)
+                  AND exists({g}.cells, cl -> cl.cell_id = l.target_cell_id)),
+                l -> array(
+                  struct('{key_kind}' AS kind, {src}.text AS text,
+                         concat('#/{arr}/', {idx}) AS media_ref),
+                  struct('{val_kind}' AS kind, {tgt}.text AS text,
+                         concat('#/{arr}/', {idx}) AS media_ref)))), array())"""
+
     ordered_spans = F.expr(
         f"""
         flatten(transform(
           filter(d.body.children, c ->
                  (c.`$ref` RLIKE '^#/texts/[0-9]+$' AND {idx} < size(d.texts))
               OR (c.`$ref` RLIKE '^#/tables/[0-9]+$' AND {idx} < size(d.tables))
-              OR (c.`$ref` RLIKE '^#/pictures/[0-9]+$' AND {idx} < size(d.pictures))),
+              OR (c.`$ref` RLIKE '^#/pictures/[0-9]+$' AND {idx} < size(d.pictures))
+              OR (c.`$ref` RLIKE '^#/key_value_items/[0-9]+$'
+                  AND {idx} < size(d.key_value_items))
+              OR (c.`$ref` RLIKE '^#/form_items/[0-9]+$'
+                  AND {idx} < size(d.form_items))),
           c ->
           CASE
             WHEN c.`$ref` LIKE '#/texts/%' THEN
@@ -189,6 +264,10 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
                   cl -> struct('table_cell' AS kind, cl.text AS text,
                     concat('#/tables/', {idx}, '/r', cl.row, 'c', cl.col) AS media_ref)),
                 array())
+            WHEN c.`$ref` LIKE '#/key_value_items/%' THEN
+              {_graph_pairs('key_value_items', 'kv', 'kv_value')}
+            WHEN c.`$ref` LIKE '#/form_items/%' THEN
+              {_graph_pairs('form_items', 'form_field', 'form_value')}
             ELSE
               transform(slice(d.pictures, {idx} + 1, 1),
                 p -> struct('media' AS kind, '' AS text,

@@ -324,3 +324,41 @@ def test_render_html_attribute_injection_escaped():
     assert 'src="img://a&quot;b.png"' in h
     assert 'alt="x&quot; onerror=&quot;alert(1)"' in h
     assert '" onerror="' not in h
+
+
+def test_render_kv_and_form_regions():
+    # kv/form span pairs → markdown '**key**: v1, v2' lines (the reference's
+    # own markdown KV serializer is a TODO stub, markdown.py:553-573) and
+    # the reference's flat <dl> HTML rendering (html.py:585-598, 654-726)
+    from docling_spark.operators.serialize import render_html, render_markdown
+
+    kvref = "#/key_value_items/0"
+    spans = [
+        ("text", "intro", None),
+        ("kv", "Meno", kvref),
+        ("kv_value", "Ján & syn", kvref),
+        ("kv", "Adresa", kvref),
+        ("kv_value", "Bratislava", kvref),
+        ("kv", "Adresa", kvref),                 # repeated key merges
+        ("kv_value", "Slovensko", kvref),
+        ("form_field", "Podpis", "#/form_items/0"),
+        ("form_value", "áno", "#/form_items/0"),
+        ("text", "záver", None),
+    ]
+    md = render_markdown(spans)
+    assert "**Meno**: Ján & syn\n**Adresa**: Bratislava, Slovensko\n" in md
+    assert "**Podpis**: áno" in md
+    assert md.index("intro") < md.index("**Meno**") < md.index("záver")
+
+    h = render_html(spans)
+    assert (
+        '<div class="key-value-region">\n<dl class="key-value-region">\n'
+        "<dt>Meno</dt>\n<dd>Ján &amp; syn</dd>\n"
+        "<dt>Adresa</dt>\n<dd>Bratislava</dd>\n<dd>Slovensko</dd>\n"
+        "</dl>\n</div>" in h
+    )
+    assert (
+        '<div class="form-container">\n<dl class="form-container">\n'
+        "<dt>Podpis</dt>\n<dd>áno</dd>\n</dl>\n</div>" in h
+    )
+    assert h.index("<p>intro</p>") < h.index("key-value-region") < h.index("<p>záver</p>")

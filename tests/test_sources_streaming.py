@@ -298,3 +298,74 @@ def test_read_docling_json_tolerates_malformed_refs(spark):
         ("text", "ok", None, 0),
         ("table_cell", "A", "#/tables/0/r0c0", 1),
     ]
+
+
+def test_read_docling_json_kv_and_form_items(spark):
+    # key_value_items / form_items (document.py:2560-2562): GraphData cells
+    # + to_value links flatten to (kv, kv_value) / (form_field, form_value)
+    # span pairs in link order; to_child links are structural only; dangling
+    # links drop per-item (ANSI-safe)
+    import json
+
+    from docling_spark.sources.readers import read_docling_json
+
+    payload = json.dumps({
+        "name": "d",
+        "body": {"children": [
+            {"$ref": "#/texts/0"},
+            {"$ref": "#/key_value_items/0"},
+            {"$ref": "#/form_items/0"},
+            {"$ref": "#/key_value_items/7"},      # out of range → dropped
+        ]},
+        "texts": [
+            {"self_ref": "#/texts/0", "label": "text", "text": "intro", "hyperlink": None},
+        ],
+        "tables": [],
+        "pictures": [],
+        "key_value_items": [{
+            "self_ref": "#/key_value_items/0",
+            "graph": {
+                "cells": [
+                    {"cell_id": 0, "label": "key", "text": "Meno"},
+                    {"cell_id": 1, "label": "value", "text": "Ján"},
+                    {"cell_id": 2, "label": "key", "text": "Adresa"},
+                    {"cell_id": 3, "label": "value", "text": "Bratislava"},
+                    {"cell_id": 4, "label": "value", "text": "Slovensko"},
+                ],
+                "links": [
+                    {"label": "to_value", "source_cell_id": 0, "target_cell_id": 1},
+                    {"label": "to_value", "source_cell_id": 2, "target_cell_id": 3},
+                    {"label": "to_value", "source_cell_id": 2, "target_cell_id": 4},
+                    {"label": "to_child", "source_cell_id": 0, "target_cell_id": 2},
+                    {"label": "to_value", "source_cell_id": 9, "target_cell_id": 1},
+                ],
+            },
+        }],
+        "form_items": [{
+            "self_ref": "#/form_items/0",
+            "graph": {
+                "cells": [
+                    {"cell_id": 0, "label": "key", "text": "Podpis"},
+                    {"cell_id": 1, "label": "value", "text": "áno"},
+                ],
+                "links": [
+                    {"label": "to_value", "source_cell_id": 0, "target_cell_id": 1},
+                ],
+            },
+        }],
+    })
+    df = spark.createDataFrame([("d1", payload)], "doc_id string, payload string")
+    out = read_docling_json(df).collect()[0]
+    spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["spans"]]
+    kvref = "#/key_value_items/0"
+    assert spans == [
+        ("text", "intro", None, 0),
+        ("kv", "Meno", kvref, 1),
+        ("kv_value", "Ján", kvref, 2),
+        ("kv", "Adresa", kvref, 3),
+        ("kv_value", "Bratislava", kvref, 4),
+        ("kv", "Adresa", kvref, 5),
+        ("kv_value", "Slovensko", kvref, 6),
+        ("form_field", "Podpis", "#/form_items/0", 7),
+        ("form_value", "áno", "#/form_items/0", 8),
+    ]
