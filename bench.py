@@ -126,13 +126,16 @@ def main() -> None:
     timings["extract_pipeline"] = round(extract_sec, 3)
     docs_per_sec = EXTRACT_DOCS / extract_sec
 
-    # per-query: best of two runs (first run pays one-time plan compilation
-    # + file listing; the repeat is the steady-state figure)
+    # per-query: best of three runs (first run pays one-time plan
+    # compilation + file listing; the repeats are steady-state, and min-of-3
+    # rides out the host's bursty noisy-neighbor windows — the r2 driver
+    # file showed 2-4x swings on sub-second TPC queries that min-of-2
+    # couldn't absorb)
     qs = E.queries()
     total = extract_sec
     for name in BENCH_QUERIES:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _count(qs[name](spark, SF_DIR))
             dt = time.time() - t0
