@@ -144,7 +144,8 @@ def minhash_candidate_stats(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", bits: int = 64,
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          materialize: bool = True) -> DataFrame:
     """(id_a, id_b, hamming) pairs with simhash hamming distance ≤
     `max_hamming`, found WITHOUT an all-pairs compare.
 
@@ -174,6 +175,12 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*blocks)).alias("blk"),
     ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
+    if materialize:
+        # Spark has no subplan reuse: both self-join sides would recompute
+        # the 64-aggregate fingerprint fold. Materializing the block keys
+        # (8 bytes × 4 blocks/doc) is the in-query form of the production
+        # write-fingerprints-once shape — same as the minhash band keys.
+        keyed = keyed.localCheckpoint()
     a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
