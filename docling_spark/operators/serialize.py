@@ -507,12 +507,42 @@ def _latex_escape(text: str) -> str:
     return "".join(_LATEX_ESCAPES.get(ch, ch) for ch in (text or ""))
 
 
+def _latex_post_process(text: str, fmt: str, hyperlink: Optional[str]) -> str:
+    """docling-core LaTeX post_process for one formatted span: escaped text
+    wrapped \\textbf/\\textit/\\underline/\\sout in the common.py:509-524
+    application order, \\href (escaped URL argument) outermost
+    (latex.py:599-639)."""
+    res = _latex_escape(text or "")
+    if "B" in fmt:
+        res = f"\\textbf{{{res}}}"
+    if "I" in fmt:
+        res = f"\\textit{{{res}}}"
+    if "U" in fmt:
+        res = f"\\underline{{{res}}}"
+    if "S" in fmt:
+        res = f"\\sout{{{res}}}"
+    if hyperlink:
+        res = f"\\href{{{_latex_escape(hyperlink)}}}{{{res}}}"
+    return res
+
+
 def render_latex(spans: List[Span]) -> str:
-    """One document's normalized spans → LaTeX body fragment."""
+    """One document's normalized spans → LaTeX body fragment.
+
+    Mode switch mirrors render_markdown: any 4-tuple span enables the
+    formatting wrappers and 'c'-continuation paragraph joining (the legacy
+    3-tuple path is byte-exact unchanged)."""
+    formatted = any(len(s) >= 4 for s in spans)
     out: List[str] = []
     table_rows: List[List[str]] = []
     table_idx: Optional[str] = None
     list_items: List[str] = []
+    pending: List[str] = []
+
+    def flush_para() -> None:
+        if pending:
+            out.append(" ".join(pending))
+            pending.clear()
 
     def flush_list() -> None:
         nonlocal list_items
@@ -538,8 +568,9 @@ def render_latex(spans: List[Span]) -> str:
         table_rows = []
         table_idx = None
 
-    for kind, text, ref in spans:
+    for kind, text, ref, fmt in _with_fmt(spans):
         if kind == "table_cell":
+            flush_para()
             flush_list()
             tid = (ref or "").split("/r")[0]
             if table_idx is not None and tid != table_idx:
@@ -550,43 +581,54 @@ def render_latex(spans: List[Span]) -> str:
             r = int(head) if head.isdigit() else 0
             while len(table_rows) <= r:
                 table_rows.append([])
-            table_rows[r].append(_latex_escape((text or "").strip()))
+            cell = (text or "").strip()
+            table_rows[r].append(
+                _latex_post_process(cell, fmt, None) if formatted
+                else _latex_escape(cell)
+            )
             continue
         flush_table()
+        disp = _latex_post_process(text, fmt, ref) if formatted else _latex_escape(text)
         if kind == "list_item":
-            list_items.append(_latex_escape(text))
+            flush_para()
+            list_items.append(disp)
             continue
         flush_list()
         if kind in _LATEX_HEADING_CMD:
-            out.append(f"\\{_LATEX_HEADING_CMD[kind]}{{{_latex_escape(text)}}}")
+            flush_para()
+            out.append(f"\\{_LATEX_HEADING_CMD[kind]}{{{disp}}}")
         elif kind in ("odsek", "pismeno", "subitem", "footnote"):
-            out.append(f"\\textbf{{{_latex_escape(text)}}}")
+            flush_para()
+            out.append(f"\\textbf{{{disp}}}")
         elif kind == "media":
+            flush_para()
             body = f"\\includegraphics{{{ref}}}\n" if ref else ""
             out.append(
                 "\\begin{figure}[h]\n" + body
                 + f"\\caption{{{_latex_escape(text)}}}\n\\end{{figure}}"
             )
         elif kind == "caption":
-            out.append(f"\\caption{{{_latex_escape(text)}}}")
+            flush_para()
+            out.append(f"\\caption{{{disp}}}")
         else:
-            out.append(_latex_escape(text))
+            if "c" not in fmt:
+                flush_para()
+            pending.append(disp)
+            if not formatted:
+                flush_para()
     flush_table()
     flush_list()
+    flush_para()
     return "\n\n".join(out) + ("\n" if out else "")
 
 
 def latex_sink(df):
-    """normalized documents → (doc_id, latex). Zero-shuffle mapInPandas."""
+    """normalized documents → (doc_id, latex). Zero-shuffle mapInPandas;
+    honors the same optional `fmt` column as markdown_sink/html_sink."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rendered = [
-                render_latex(
-                    [(s["kind"], s["text"], s["media_ref"]) for s in _iter_spans(spans)]
-                )
-                for spans in pdf["spans"]
-            ]
+            rendered = [render_latex(ss) for ss in _spans_with_optional_fmt(pdf)]
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "latex": rendered})
 
     return df.mapInPandas(gen, schema="doc_id string, latex string")

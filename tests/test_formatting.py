@@ -294,13 +294,17 @@ def _formatted_fixture_renders():
     import os
 
     from docling_spark.operators.html_extract import extract_html_spans
-    from docling_spark.operators.serialize import render_html, render_markdown
+    from docling_spark.operators.serialize import (
+        render_html,
+        render_latex,
+        render_markdown,
+    )
 
     for src in sorted(glob.glob(os.path.join(_GOLDEN_DIR, "*.src.html"))):
         name = os.path.basename(src)[: -len(".src.html")]
         with open(src) as f:
             spans = extract_html_spans(f.read(), with_formatting=True)
-        yield name, render_markdown(spans), render_html(spans)
+        yield name, render_markdown(spans), render_html(spans), render_latex(spans)
 
 
 def test_formatted_goldens():
@@ -311,11 +315,13 @@ def test_formatted_goldens():
     import os
 
     ran = 0
-    for name, md, h in _formatted_fixture_renders():
+    for name, md, h, tex in _formatted_fixture_renders():
         with open(os.path.join(_GOLDEN_DIR, f"{name}.md")) as f:
             assert md == f.read(), f"formatted markdown mismatch for {name}"
         with open(os.path.join(_GOLDEN_DIR, f"{name}.html")) as f:
             assert h == f.read(), f"formatted html mismatch for {name}"
+        with open(os.path.join(_GOLDEN_DIR, f"{name}.tex")) as f:
+            assert tex == f.read(), f"formatted latex mismatch for {name}"
         ran += 1
     assert ran >= 3, "missing committed formatted fixtures"
 
@@ -323,9 +329,73 @@ def test_formatted_goldens():
 def regen():  # pragma: no cover — maintenance helper
     import os
 
-    for name, md, h in _formatted_fixture_renders():
+    for name, md, h, tex in _formatted_fixture_renders():
         with open(os.path.join(_GOLDEN_DIR, f"{name}.md"), "w") as f:
             f.write(md)
         with open(os.path.join(_GOLDEN_DIR, f"{name}.html"), "w") as f:
             f.write(h)
+        with open(os.path.join(_GOLDEN_DIR, f"{name}.tex"), "w") as f:
+            f.write(tex)
         print("regenerated", name)
+
+
+def test_render_latex_formatted():
+    from docling_spark.operators.serialize import render_latex
+
+    tex = render_latex([
+        ("text", "intro", None, ""),
+        ("text", "silný & akcent", None, "Bc"),
+        ("text", "koniec", None, "c"),
+        ("text", "odkaz_x", "#p1", "I"),
+        ("list_item", "pt", None, "S"),
+    ])
+    assert "intro \\textbf{silný \\& akcent} koniec" in tex
+    assert "\\href{\\#p1}{\\textit{odkaz\\_x}}" in tex
+    assert "\\item \\sout{pt}" in tex
+    # legacy path: no wrappers
+    legacy = render_latex([("text", "silný & akcent", None)])
+    assert legacy == "silný \\& akcent\n"
+
+
+def test_latex_post_process_parity(ref_serializers):
+    """Wrapper order + hyperlink-argument escaping vs the reference LaTeX
+    serializer's own functions (latex.py:599-639)."""
+    import sys
+
+    from tools.bench_reference import REFERENCE, _install_import_stubs
+
+    _install_import_stubs()
+    sys.path.insert(0, f"{REFERENCE}/docling_code/docling-core-main")
+    from docling_core.transforms.serializer.latex import (
+        LaTeXDocSerializer,
+        _escape_latex,
+    )
+
+    from docling_spark.operators.serialize import _latex_escape, _latex_post_process
+
+    dummy = object()
+
+    def reference_render(s, fmt, link):
+        res = _escape_latex(s)
+        if "B" in fmt:
+            res = LaTeXDocSerializer.serialize_bold(dummy, text=res)
+        if "I" in fmt:
+            res = LaTeXDocSerializer.serialize_italic(dummy, text=res)
+        if "U" in fmt:
+            res = LaTeXDocSerializer.serialize_underline(dummy, text=res)
+        if "S" in fmt:
+            res = LaTeXDocSerializer.serialize_strikethrough(dummy, text=res)
+        if link:
+            res = LaTeXDocSerializer.serialize_hyperlink(dummy, text=res, hyperlink=link)
+        return res
+
+    @settings(max_examples=400, deadline=None)
+    @given(s=_FUZZ_TEXT, fmt=_FMTS, link=_LINKS)
+    def run(s, fmt, link):
+        # precondition: our escaper must agree with the reference's
+        # (character-map parity is pinned by the .tex goldens already)
+        if _latex_escape(s) != _escape_latex(s):
+            return
+        assert _latex_post_process(s, fmt, link) == reference_render(s, fmt, link)
+
+    run()
