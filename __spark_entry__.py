@@ -799,7 +799,20 @@ def q_chunk_split(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def x_extract_normalized(spark, sf_dir):
+def q_extract_normalized(spark, sf_dir):
+    """Flagship: the full distributed extraction (sniff → HTML/PDF
+    normalize → hierarchy state machine) over the raw corpus, exploded to
+    one row per normalized span.
+
+    Oracle: the SAME per-document function (pipeline.extract_document_safe)
+    executed single-process and Spark-free into the derived normalized
+    parquet (`_normalized_path` — the device the chunker/serializer oracles
+    already read). The comparison therefore certifies the DISTRIBUTED
+    execution layer — mapInArrow batching, Arrow columnar marshaling, span
+    ordering, doc coverage — against a from-scratch single-process run;
+    semantic parity of the per-document computation itself is pinned
+    separately by the committed goldens and the live reference
+    differentials (tests/test_reference_*.py)."""
     from docling_spark.pipeline import extract
 
     _ensure_workers(spark)
@@ -811,6 +824,84 @@ def x_extract_normalized(spark, sf_dir):
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
     )
+
+
+def q_formatted_markdown(spark, sf_dir):
+    """Formatting-aware RAG export: the corpus's HTML documents through
+    extract_html_formatted (inline <b>/<i>/<u>/<del>/<a> → fmt flags) into
+    the formatting-aware markdown sink. Rows-only check (the formatted
+    renderer's byte-level behavior is pinned by committed goldens and the
+    400-case fuzz parity vs the reference's own escapers —
+    tests/test_formatting.py)."""
+    from docling_spark.operators.serialize import markdown_sink
+    from docling_spark.pipeline import extract_html_formatted
+
+    _ensure_workers(spark)
+    docs = spark.read.parquet(_corpus_path(sf_dir))
+    return markdown_sink(extract_html_formatted(docs))
+
+
+def q_kv_form_sinks(spark, sf_dir):
+    """Key-value / form items end-to-end: docling-JSON payloads with
+    GraphData items → reader deref (kv/kv_value, form_field/form_value
+    spans) → HTML sink (<dl> regions). Deterministic inline payloads (the
+    sf corpus carries no docling-JSON KV docs); rows-only check — the
+    reader and renderers are pinned by pytest + the kv-001 golden."""
+    import json as _json
+
+    from docling_spark.operators.serialize import html_sink
+    from docling_spark.sources.readers import read_docling_json
+
+    _ensure_workers(spark)
+    payloads = []
+    for i in range(8):
+        payloads.append((f"kvdoc-{i:03d}", _json.dumps({
+            "name": f"kvdoc-{i:03d}",
+            "body": {"children": [
+                {"$ref": "#/texts/0"},
+                {"$ref": "#/key_value_items/0"},
+                {"$ref": "#/form_items/0"},
+            ]},
+            "texts": [{"self_ref": "#/texts/0", "label": "title",
+                       "text": f"Formulár {i}", "hyperlink": None}],
+            "tables": [], "pictures": [],
+            "key_value_items": [{"self_ref": "#/key_value_items/0", "graph": {
+                "cells": [
+                    {"cell_id": 0, "label": "key", "text": "Číslo"},
+                    {"cell_id": 1, "label": "value", "text": str(100 + i)},
+                    {"cell_id": 2, "label": "key", "text": "Stav"},
+                    {"cell_id": 3, "label": "value", "text": "platný" if i % 2 else "zrušený"},
+                ],
+                "links": [
+                    {"label": "to_value", "source_cell_id": 0, "target_cell_id": 1},
+                    {"label": "to_value", "source_cell_id": 2, "target_cell_id": 3},
+                ]}}],
+            "form_items": [{"self_ref": "#/form_items/0", "graph": {
+                "cells": [
+                    {"cell_id": 0, "label": "key", "text": "Podpis"},
+                    {"cell_id": 1, "label": "value", "text": "v. r."},
+                ],
+                "links": [
+                    {"label": "to_value", "source_cell_id": 0, "target_cell_id": 1},
+                ]}}],
+        })))
+    df = spark.createDataFrame(payloads, "doc_id string, payload string")
+    return html_sink(read_docling_json(df))
+
+
+def _duck_extract_normalized_sql() -> str:
+    """See q_extract_normalized: the single-process Spark-free build of the
+    same per-document extraction, read back as the expected table."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        SELECT doc_id,
+               CAST(s.offset AS INTEGER) AS offset,
+               s.kind AS kind,
+               s.text AS text,
+               s.media_ref AS media_ref
+        FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{path}'))
+    """
 
 
 def q_extract_kind_histogram(spark, sf_dir):
@@ -1063,7 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_match": q_normalize_match,
         "grid_densify": q_grid_densify,
         "token_set_ops": q_token_set_ops,
-        "extract_normalized": x_extract_normalized,
+        "extract_normalized": q_extract_normalized,
         "extract_kind_histogram": q_extract_kind_histogram,
         "markdown_sink": q_markdown_sink,
         "html_sink": q_html_sink,
@@ -1093,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": x_multimodal_image_features,
         "multimodal_audio_features": x_multimodal_audio_features,
         "multimodal_frame_sample": x_multimodal_frame_sample,
+        "formatted_markdown": q_formatted_markdown,
+        "kv_form_sinks": q_kv_form_sinks,
     }
 
 
@@ -2713,6 +2806,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "extract_kind_histogram": _duck_kind_histogram_sql(),
+        "extract_normalized": _duck_extract_normalized_sql(),
         "extract_full": _duck_extract_full_sql(),
         "chunk_export_rag": _duck_chunk_export_rag_sql(),
         "chunk_export_md": _duck_chunk_export_md_sql(),

@@ -78,6 +78,12 @@ NORMALIZED_KINDS = {
                        #   emits one error span instead of failing the task
 }
 
+# Additional kinds emitted only by the docling-JSON reader's graph-item
+# deref (document.py:2560-2562): key/value and form field/value pairs.
+# Not part of the extraction state machine's closed output set above —
+# these reach the sinks directly from read_docling_json.
+KV_KINDS = {"kv", "kv_value", "form_field", "form_value"}
+
 # ---------------------------------------------------------------------------
 # Metrics / lineage table (north_rule: per-partition checkpointed lineage)
 # FIXTURES.md §4
