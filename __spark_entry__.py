@@ -464,6 +464,20 @@ def q_minhash_dup_groups(spark, sf_dir):
     )
 
 
+def q_neardup_curation(spark, sf_dir):
+    # the curation capstone: LSH → exact-Jaccard verify → components →
+    # keep the min-id representative per group + all unpaired docs
+    from docling_spark.ops.dedup import neardup_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    verified = q_minhash_verified_pairs(spark, sf_dir).filter(
+        F.col("inter_size") * 5 >= F.col("union_size")
+    )
+    return neardup_curation(docs, verified).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def q_shared_windows(spark, sf_dir):
     # exact substring-duplication signal (Lee et al. ACL'22) as a
     # window-hash equi-join — only 8-byte hashes shuffle, never text
@@ -1135,7 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline": q_curation_pipeline,
-        "minhash_signature": q_minhash_signature,
+        "neardup_curation": q_neardup_curation,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dup_groups": q_minhash_dup_groups,
         "repetition_stats": q_repetition_stats,
@@ -1176,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "local_supplier_volume": q_local_supplier_volume,
         "parts_by_type": q_parts_by_type,
+        "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_candidate_ratio": q_minhash_candidate_ratio,
         "simhash": q_simhash,
@@ -1432,6 +1447,20 @@ def _duck_dup_groups_sql() -> str:
         SELECT CAST(src AS BIGINT) AS doc_id,
                CAST(least(src, min(dst)) AS BIGINT) AS component_id
         FROM reach GROUP BY src
+    """
+
+
+def _duck_neardup_curation_sql() -> str:
+    """Curation oracle: the dup-groups closure, then the corpus minus
+    non-representative members (keep min id per group + unpaired docs)."""
+    base = _duck_dup_groups_sql()
+    # reuse the full recursive-CTE pipeline as a subquery
+    return f"""
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+            SELECT doc_id FROM ({base}) comp WHERE comp.component_id != comp.doc_id
+        )
     """
 
 
@@ -2780,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": _duck_minhash_verified_sql(),
         "minhash_candidate_ratio": _duck_minhash_ratio_sql(),
         "minhash_dup_groups": _duck_dup_groups_sql(),
+        "neardup_curation": _duck_neardup_curation_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),

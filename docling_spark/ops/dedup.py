@@ -412,6 +412,29 @@ def _dup_components_star(pairs: DataFrame, id_a: str, id_b: str,
     )
 
 
+def neardup_curation(docs: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id", id_a: str = "id_a",
+                     id_b: str = "id_b",
+                     algorithm: str = "label_prop") -> DataFrame:
+    """Near-duplicate removal: given a verified near-dup pair list, keep ONE
+    representative (the min id) per duplicate group plus every unpaired doc
+    — the keep-first policy of exact dedup extended to fuzzy groups (the
+    standard LLM-corpus curation step after MinHash verify; cf. Lee et al.
+    ACL'22 §4: one document retained per duplicate cluster).
+
+    Shape at scale: connected components over the pair list (tiny relative
+    to the corpus), then one left ANTI-join of the corpus against the
+    non-representative members — the corpus shuffles once on doc_id, or
+    not at all when AQE broadcasts the loser side (dup members are
+    typically ≪ corpus). Returns the curated frame with the input columns
+    unchanged."""
+    comps = dup_components(pairs, id_a=id_a, id_b=id_b, algorithm=algorithm)
+    losers = comps.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.0,

@@ -454,3 +454,14 @@ def test_dup_components_nonconvergence_raises_and_star_converges(spark):
     st = {r["doc_id"]: r["component_id"]
           for r in dup_components(chain, algorithm="star", max_iters=12).collect()}
     assert set(st.values()) == {0} and len(st) == 61
+
+
+def test_neardup_curation_keeps_representative(docs, spark):
+    from docling_spark.ops.dedup import neardup_curation
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in neardup_curation(docs, pairs).collect()}
+    # group {1,2,3} keeps min id 1; unpaired 4 and 5 survive untouched
+    assert kept == {1, 4, 5}
+    # columns unchanged
+    assert neardup_curation(docs, pairs).columns == docs.columns
