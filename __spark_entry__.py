@@ -570,6 +570,22 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    # IVF-PQ (Jégou TPAMI'11 / FAISS IndexIVFPQ, no-residual): the corpus
+    # side carries only (cell, 4×4-bit codes); ranking = ADC against the
+    # trained codebooks. The scan shape for 10^12 vectors.
+    from docling_spark.ops.similarity import ann_ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_ivfpq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=8, n_probe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("adc") * 1_000_000).cast("long").alias("adc_e6"),
+        "rank",
+    )
+
+
 def q_ann_ivf_kmeans_topk(spark, sf_dir):
     # IVF with a TRAINED coarse quantizer (driver-side sampled Lloyd k-means
     # → broadcast) — the production form; plan shape identical to the
@@ -1157,7 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "chunk_split": q_chunk_split,
@@ -1194,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_candidate_ratio": q_minhash_candidate_ratio,
         "simhash": q_simhash,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_cells": q_ivf_cells,
         "multimodal_image_features": x_multimodal_image_features,
@@ -1582,6 +1599,69 @@ def _kmeans_cents_for_oracle(n_cells: int = 8, iters: int = 10,
     rows = sorted(tbl.to_pylist(), key=lambda r: r["vec_id"])[:sample_n]
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return kmeans_lloyd(X, n_cells, iters, seed)
+
+
+def _pq_books_for_oracle(m: int = 4, nbits: int = 4, iters: int = 8,
+                         sample_n: int = 2048, seed: int = 23):
+    """Train the SAME PQ codebooks the Spark query trains, from the same
+    ordered sample (float→double widening exact) — codebooks are query
+    parameters; the oracle then verifies the distributed code-assignment
+    argmin + cell probe + ADC ranking math bit-for-bit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_spark.ops.similarity import pq_lloyd
+
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["vec_id"])[:sample_n]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return pq_lloyd(X, m, 2 ** nbits, iters, seed)
+
+
+def _duck_ivfpq_sql() -> str:
+    """IVF-PQ oracle: same coarse cells as the IVF oracle, PQ code argmin
+    per subspace (left-assoc (x-w)*(x-w) folds — no pow, no native sum, so
+    both engines run bit-identical IEEE sequences), ADC ranking."""
+    from docling_spark.ops.similarity import pq_adc_expr, pq_code_expr
+
+    books = _pq_books_for_oracle()
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    dot_vc = _duck_dot("v", "c")
+    codes_exprs = ", ".join(
+        f"CAST({pq_code_expr(books[j], j, 'v', 'duck')} AS INTEGER) AS code_{j}"
+        for j in range(books.shape[0])
+    )
+    adc = pq_adc_expr(books, "p.q", "cor.code_", "duck")
+    return f"""
+        WITH {_duck_ivf_cents()},
+        base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, v, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY {dot_vc} DESC, cell ASC) AS rn
+          FROM base CROSS JOIN cents
+        ),
+        corpus AS (SELECT vec_id, cell, v FROM assign WHERE rn = 1),
+        codes AS (SELECT vec_id, cell, {codes_exprs} FROM corpus),
+        qprobe AS (SELECT vec_id AS query_id, v AS q, cell
+                   FROM assign WHERE vec_id IN (0,1,2,3,4) AND rn <= 2),
+        scored AS (
+          SELECT p.query_id, cor.vec_id AS neighbor_id, round({adc}, 6) AS adc
+          FROM qprobe p JOIN codes cor
+            ON cor.cell = p.cell AND cor.vec_id != p.query_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc ASC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id,
+               CAST(floor(adc * 1000000) AS BIGINT) AS adc_e6,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+    """
 
 
 def _duck_ivf_assign_sql() -> str:
@@ -2850,6 +2930,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_chunks": _duck_hybrid_chunks_sql(),
         "render_triplets": _duck_triplets_sql(),
         "ann_ivf_topk": _duck_ivf_topk_sql(),
+        "ann_ivfpq_topk": _duck_ivfpq_sql(),
         "ann_ivf_kmeans_topk": _duck_ivf_topk_sql(
             _duck_cents_values(_kmeans_cents_for_oracle())
         ),

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "repetition_stats",
     "ann_ivf_kmeans_topk",
+    "ann_ivfpq_topk",
+    "neardup_curation",
     "law_chunks",
     "render_triplets",
     "extract_full",

@@ -290,3 +290,196 @@ def ann_bucketed_topk(emb: DataFrame, query_ids, k: int = 10, bits: int = 8,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011; the FAISS IndexIVFPQ family) — the
+# canonical memory/scan shape at 10^9-10^12 vectors: the corpus stores only
+# m sub-codes (m·nbits bits per vector — 2 bytes at m=4, nbits=4) plus a
+# coarse cell id; search probes n_probe cells and ranks candidates by ADC
+# (asymmetric distance: exact query subvectors against codeword literals).
+# No-residual variant (FAISS by_residual=False): codes quantize the raw
+# vector, not the cell residual — one codebook serves all cells.
+#
+# Cross-engine exactness discipline: every distance is an explicit
+# left-associated fold of ((x - w) * (x - w)) terms — no pow() (not
+# guaranteed identically rounded across libm implementations), no
+# engine-native sum (order nondeterministic). The same Python generator
+# emits both dialects, so Spark and the DuckDB oracle evaluate
+# bit-identical IEEE operation sequences.
+# ---------------------------------------------------------------------------
+
+
+def _dlit(x: float) -> str:
+    """Float literal that parses as DOUBLE in both Spark SQL and DuckDB."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "." not in r) else r + "e0"
+
+
+def pq_lloyd(X: np.ndarray, m: int, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain-L2 Lloyd per subspace over the sample → (m, k, dim//m)
+    codebooks. Deterministic (seeded init, empty cells re-seeded from the
+    sample); shared with the DuckDB oracle builder."""
+    X = X.astype(np.float64)
+    n, dim = X.shape
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        cents = S[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:
+                    cents[c] = S[rng.randint(n)]
+        books[j] = cents
+    return books
+
+
+def train_pq_codebooks(emb: DataFrame, m: int = 4, nbits: int = 4,
+                       dim: int = 64, iters: int = 8, sample_n: int = 2048,
+                       seed: int = 23, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Driver-side PQ training on a bounded ordered sample (same policy as
+    train_centroids_kmeans: quantizers train on a sample, never the
+    corpus)."""
+    rows = (
+        emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    return pq_lloyd(X, m, 2 ** nbits, iters, seed)
+
+
+def _sq_terms(el: str, w_row, start: str = "0.0e0") -> str:
+    """Left-associated sum of squared differences; `el` is a format string
+    taking the 1-based element index."""
+    total = start
+    for t, w in enumerate(w_row):
+        e = el.format(i=t + 1)
+        total = f"({total} + (({e} - {_dlit(w)}) * ({e} - {_dlit(w)})))"
+    return total
+
+
+def pq_code_expr(cb_j: np.ndarray, j: int, vec: str, dialect: str) -> str:
+    """SQL expression for subspace j's code: argmin over codewords of the
+    exact squared L2 distance, ties → lowest code (struct ordering in both
+    engines)."""
+    sub = cb_j.shape[1]
+    structs = []
+    for c, w in enumerate(cb_j):
+        dist = _sq_terms(
+            (f"element_at({vec}, {j * sub} + {{i}})" if dialect == "spark"
+             else f"{vec}[{j * sub} + {{i}}]"),
+            w,
+        )
+        structs.append((dist, c))
+    if dialect == "spark":
+        arr = ", ".join(f"named_struct('d', {d}, 'c', {c})" for d, c in structs)
+        return f"array_min(array({arr})).c"
+    arr = ", ".join("{" + f"'d': {d}, 'c': {c}" + "}" for d, c in structs)
+    return f"list_sort([{arr}])[1].c"
+
+
+def pq_adc_expr(codebooks: np.ndarray, q: str, code_prefix: str,
+                dialect: str) -> str:
+    """ADC total: Σ_j d²(q_j, codeword[code_j]) as one left-associated
+    expression; the codeword is selected at runtime by indexing the literal
+    codebook array with the row's code column."""
+    total = "0.0e0"
+    m, k, sub = codebooks.shape
+    for j in range(m):
+        if dialect == "spark":
+            rows = ", ".join(
+                "array(" + ",".join(_dlit(x) for x in w) + ")" for w in codebooks[j]
+            )
+            cw = f"element_at(array({rows}), {code_prefix}{j} + 1)"
+            el_q = f"element_at({q}, {j * sub} + {{i}})"
+            el_w = f"element_at({cw}, {{i}})"
+        else:
+            rows = ", ".join(
+                "[" + ",".join(_dlit(x) for x in w) + "]" for w in codebooks[j]
+            )
+            cw = f"([{rows}])[{code_prefix}{j} + 1]"
+            el_q = f"{q}[{j * sub} + {{i}}]"
+            el_w = f"({cw})[{{i}}]"
+        d2 = "0.0e0"
+        for t in range(sub):
+            a = el_q.format(i=t + 1)
+            b = el_w.format(i=t + 1)
+            d2 = f"({d2} + (({a} - {b}) * ({a} - {b})))"
+        total = f"({total} + {d2})"
+    return total
+
+
+def pq_codes(emb: DataFrame, codebooks: np.ndarray, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             keep: "list[str] | None" = None) -> DataFrame:
+    """(vec_id[, keep...], code_0..code_{m-1}) — the PQ-compressed corpus
+    representation (m·nbits bits per vector of payload)."""
+    m = codebooks.shape[0]
+    base = emb.select(
+        F.col(id_col), *[F.col(c) for c in (keep or [])],
+        _as_double(vec_col).alias("v"),
+    )
+    return base.select(
+        F.col(id_col), *[F.col(c) for c in (keep or [])],
+        *[
+            F.expr(pq_code_expr(codebooks[j], j, "v", "spark"))
+            .cast("int").alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def ann_ivfpq_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
+                   n_probe: int = 2, m: int = 4, nbits: int = 4,
+                   dim: int = 64, seed: int = 11,
+                   codebooks: "np.ndarray | None" = None,
+                   pq_iters: int = 8, pq_sample: int = 2048,
+                   pq_seed: int = 23, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Approximate L2 top-k via IVF-PQ: coarse cells (same seeded
+    quantizer as ann_ivf_topk) restrict candidates; ranking uses ADC over
+    the PQ codes — the corpus side carries ONLY (cell, m codes), never the
+    vectors, which is the entire point at 10^12 vectors (2-byte payload vs
+    256-byte float64[64]). Returns (query_id, neighbor_id, adc, rank),
+    adc rounded to 6 dp, ties → neighbor_id asc."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            emb, m, nbits, dim, pq_iters, pq_sample, pq_seed, id_col, vec_col
+        )
+    cents = _centroid_df(emb.sparkSession, _centroids(n_cells, dim, seed))
+    assign = _assign_cells(
+        emb, n_cells, dim, seed, id_col, vec_col, top_n=n_probe, cents=cents
+    )
+    corpus = assign.filter(F.col("rn") == 1).select(F.col(id_col), "v", "cell")
+    codes = pq_codes(corpus, codebooks, id_col, vec_col="v", keep=["cell"]).alias("c")
+    q_probed = (
+        assign.filter(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("q"), "cell")
+        .alias("q")
+    )
+    joined = codes.join(
+        F.broadcast(q_probed), F.col("c.cell") == F.col("q.cell")
+    ).filter(F.col(id_col) != F.col("query_id"))
+    adc = F.expr(pq_adc_expr(codebooks, "q", "code_", "spark"))
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), F.round(adc, 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", F.col("rank").cast("long"))
+    )

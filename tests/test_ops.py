@@ -465,3 +465,50 @@ def test_neardup_curation_keeps_representative(docs, spark):
     assert kept == {1, 4, 5}
     # columns unchanged
     assert neardup_curation(docs, pairs).columns == docs.columns
+
+
+def test_ann_ivfpq(emb):
+    import numpy as np
+
+    from docling_spark.ops.similarity import (
+        ann_ivfpq_topk, pq_codes, pq_lloyd, train_pq_codebooks)
+
+    books = train_pq_codebooks(emb, m=4, nbits=2, dim=8, sample_n=20, seed=23)
+    assert books.shape == (4, 4, 2)
+    codes = pq_codes(emb, books, vec_col="embedding").collect()
+    assert len(codes) == 20
+    for r in codes:
+        for j in range(4):
+            assert 0 <= r[f"code_{j}"] < 4      # nbits=2 → codes in [0,4)
+    out = ann_ivfpq_topk(
+        emb, query_ids=[0], k=5, n_cells=4, n_probe=2, m=4, nbits=2, dim=8,
+        codebooks=books,
+    ).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    # the planted near-identical neighbor (vec 1 ≈ vec 0) quantizes to the
+    # same codes as the query would, so its ADC — which equals the query's
+    # own reconstruction error — is the minimum and it ranks first
+    assert out[0]["neighbor_id"] == 1
+
+    # numpy ground-truth ADC for the query's probed candidates
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    code_map = {r["vec_id"]: [r[f"code_{j}"] for j in range(4)] for r in codes}
+    q = vecs[0]
+    for r in out:
+        approx = sum(
+            float(((q[j * 2:(j + 1) * 2] - books[j][code_map[r["neighbor_id"]][j]]) ** 2).sum())
+            for j in range(4)
+        )
+        assert abs(approx - r["adc"]) < 1e-5
+
+
+def test_ann_ivfpq_plan_is_cell_equi_join(emb):
+    from docling_spark.ops.similarity import ann_ivfpq_topk, train_pq_codebooks
+
+    books = train_pq_codebooks(emb, m=4, nbits=2, dim=8, sample_n=20, seed=23)
+    df = ann_ivfpq_topk(emb, query_ids=[0], k=3, n_cells=4, n_probe=2, m=4,
+                        nbits=2, dim=8, codebooks=books)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probed queries broadcast to codes
