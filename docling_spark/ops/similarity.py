@@ -369,22 +369,46 @@ def _sq_terms(el: str, w_row, start: str = "0.0e0") -> str:
     return total
 
 
+def _spark_cb_lit(cb_j: np.ndarray) -> str:
+    return (
+        "array("
+        + ", ".join("array(" + ",".join(_dlit(x) for x in w) + ")" for w in cb_j)
+        + ")"
+    )
+
+
 def pq_code_expr(cb_j: np.ndarray, j: int, vec: str, dialect: str) -> str:
     """SQL expression for subspace j's code: argmin over codewords of the
     exact squared L2 distance, ties → lowest code (struct ordering in both
-    engines)."""
-    sub = cb_j.shape[1]
+    engines).
+
+    Dialect forms differ in SHAPE but not arithmetic order (t ascending,
+    strict left fold, (x−w)·(x−w) terms): the Spark side uses nested
+    higher-order functions (transform over codewords + aggregate over
+    dims) because a fully unrolled 16-codeword × 16-term expression blows
+    a generated Java method past the 64 KB limit and drops the whole stage
+    to interpreted mode; HOFs evaluate interpreted anyway, so the
+    surrounding stage keeps whole-stage codegen. DuckDB has no such limit
+    and takes the unrolled form."""
+    k, sub = cb_j.shape
+    if dialect == "spark":
+        cb = _spark_cb_lit(cb_j)
+        diff = (
+            f"(element_at({vec}, {j * sub} + t) - "
+            f"element_at(element_at({cb}, c + 1), t))"
+        )
+        dist = (
+            f"aggregate(sequence(1, {sub}), 0.0e0, "
+            f"(acc, t) -> acc + ({diff} * {diff}))"
+        )
+        return (
+            f"array_min(transform(sequence(0, {k - 1}), "
+            f"c -> named_struct('d', {dist}, 'c', c))).c"
+        )
     structs = []
     for c, w in enumerate(cb_j):
-        dist = _sq_terms(
-            (f"element_at({vec}, {j * sub} + {{i}})" if dialect == "spark"
-             else f"{vec}[{j * sub} + {{i}}]"),
-            w,
-        )
+        dist = _sq_terms(f"{vec}[{j * sub} + {{i}}]", w)
         structs.append((dist, c))
-    if dialect == "spark":
-        arr = ", ".join(f"named_struct('d', {d}, 'c', {c})" for d, c in structs)
-        return f"array_min(array({arr})).c"
     arr = ", ".join("{" + f"'d': {d}, 'c': {c}" + "}" for d, c in structs)
     return f"list_sort([{arr}])[1].c"
 
@@ -398,24 +422,24 @@ def pq_adc_expr(codebooks: np.ndarray, q: str, code_prefix: str,
     m, k, sub = codebooks.shape
     for j in range(m):
         if dialect == "spark":
-            rows = ", ".join(
-                "array(" + ",".join(_dlit(x) for x in w) + ")" for w in codebooks[j]
+            # HOF fold (see pq_code_expr: keeps generated Java under the
+            # 64 KB method limit); same t-ascending strict order
+            cw = f"element_at({_spark_cb_lit(codebooks[j])}, {code_prefix}{j} + 1)"
+            diff = f"(element_at({q}, {j * sub} + t) - element_at({cw}, t))"
+            d2 = (
+                f"aggregate(sequence(1, {sub}), 0.0e0, "
+                f"(acc, t) -> acc + ({diff} * {diff}))"
             )
-            cw = f"element_at(array({rows}), {code_prefix}{j} + 1)"
-            el_q = f"element_at({q}, {j * sub} + {{i}})"
-            el_w = f"element_at({cw}, {{i}})"
         else:
             rows = ", ".join(
                 "[" + ",".join(_dlit(x) for x in w) + "]" for w in codebooks[j]
             )
             cw = f"([{rows}])[{code_prefix}{j} + 1]"
-            el_q = f"{q}[{j * sub} + {{i}}]"
-            el_w = f"({cw})[{{i}}]"
-        d2 = "0.0e0"
-        for t in range(sub):
-            a = el_q.format(i=t + 1)
-            b = el_w.format(i=t + 1)
-            d2 = f"({d2} + (({a} - {b}) * ({a} - {b})))"
+            d2 = "0.0e0"
+            for t in range(sub):
+                a = f"{q}[{j * sub} + {t + 1}]"
+                b = f"({cw})[{t + 1}]"
+                d2 = f"({d2} + (({a} - {b}) * ({a} - {b})))"
         total = f"({total} + {d2})"
     return total
 

@@ -369,3 +369,41 @@ def test_read_docling_json_kv_and_form_items(spark):
         ("form_field", "Podpis", "#/form_items/0", 7),
         ("form_value", "áno", "#/form_items/0", 8),
     ]
+
+
+def test_streaming_formatted_extraction_composition(spark, corpus_path, tmp_path):
+    """The formatting channel composes onto the streaming source unchanged:
+    readStream → extract_html_formatted → markdown_sink (fmt-aware) in
+    availableNow mode must equal the batch result row-for-row."""
+    from docling_spark.operators.serialize import markdown_sink
+    from docling_spark.pipeline import extract_html_formatted
+    from docling_spark.schema import DOC_SCHEMA
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.read.parquet(corpus_path).repartition(4).write.parquet(in_dir, mode="overwrite")
+
+    src = spark.readStream.schema(DOC_SCHEMA).parquet(in_dir)
+    out_dir = str(tmp_path / "fmt_out")
+    ckpt = str(tmp_path / "fmt_ckpt")
+    q = (
+        markdown_sink(extract_html_formatted(src))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = markdown_sink(extract_html_formatted(spark.read.parquet(in_dir)))
+    assert streamed.count() == 60
+    diff = (
+        streamed.withColumnRenamed("markdown", "a")
+        .join(batch.withColumnRenamed("markdown", "b"), "doc_id")
+        .filter("a != b")
+        .count()
+    )
+    assert diff == 0
