@@ -478,6 +478,29 @@ def q_neardup_curation(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    # eval-set n-gram-overlap decontamination (GPT-3 app. C / Gopher §A.3):
+    # deterministic eval subset = doc_id % 97 == 0; only gram hashes shuffle
+    from docling_spark.ops.textstats import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.expr("doc_id % 97 = 0"))
+    out = decontaminate(docs, eval_docs, n=5, min_shared=1)
+    return out.select("doc_id", "n_shared_grams", "contaminated")
+
+
+def q_stratified_sample(spark, sf_dir):
+    # deterministic hash-threshold data mixing: per-language keep rates,
+    # reproducible across cluster sizes / reruns / engines
+    from docling_spark.ops.textstats import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, rates={"en": 0.5, "de": 0.9}, key_col="lang", default_rate=0.1
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
 def q_shared_windows(spark, sf_dir):
     # exact substring-duplication signal (Lee et al. ACL'22) as a
     # window-hash equi-join — only 8-byte hashes shuffle, never text
@@ -1218,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": x_multimodal_frame_sample,
         "formatted_markdown": q_formatted_markdown,
         "kv_form_sinks": q_kv_form_sinks,
+        "decontamination": q_decontamination,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1342,6 +1367,36 @@ def _duck_repetition_sql() -> str:
                coalesce(ba.n_bigrams, 0) AS n_bigrams,
                coalesce(ba.top_bigram_count, 0) AS top_bigram_count
         FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+    """
+
+
+def _duck_decontamination_sql(n: int = 5, min_shared: int = 1) -> str:
+    gh = f"list_transform({P.ngrams_duck('text', n)}, g -> {P.token_hash_duck('g')})"
+    return f"""
+        WITH ev AS (
+          SELECT DISTINCT gh FROM (
+            SELECT unnest({gh}) AS gh FROM documents WHERE doc_id % 97 = 0)
+        ),
+        cg AS (SELECT doc_id, unnest({gh}) AS gh FROM documents),
+        sh AS (SELECT doc_id, count(DISTINCT cg.gh) AS n
+               FROM cg JOIN ev ON cg.gh = ev.gh GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_grams,
+               coalesce(sh.n, 0) >= {min_shared} AS contaminated
+        FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+    """
+
+
+def _duck_stratified_sample_sql(denom: int = 1_000_000) -> str:
+    rates = {"en": 500_000, "de": 900_000}
+    thresh = "CASE "
+    for key, t in sorted(rates.items()):
+        thresh += f"WHEN lang = '{key}' THEN {t} "
+    thresh += "ELSE 100000 END"
+    bucket = f"(((CAST(doc_id AS BIGINT) % {P.MOD}) * {P._MIX}) % {P.MOD}) % {denom}"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM documents WHERE {bucket} < {thresh}
     """
 
 
@@ -2890,6 +2945,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidate_ratio": _duck_minhash_ratio_sql(),
         "minhash_dup_groups": _duck_dup_groups_sql(),
         "neardup_curation": _duck_neardup_curation_sql(),
+        "decontamination": _duck_decontamination_sql(),
+        "stratified_sample": _duck_stratified_sample_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),

@@ -188,3 +188,67 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         F.expr(P.fingerprint_spark(text_col)).cast("long").alias("fingerprint"),
     )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                  min_shared: int = 1, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, n_shared_grams, contaminated) — flag training documents
+    sharing ≥ `min_shared` distinct exact word n-grams with an evaluation
+    set: the n-gram-overlap decontamination of the LLM-corpus literature
+    (GPT-3 appendix C: 13-gram overlap; Gopher §A.3) re-expressed as an
+    equi-join on 8-byte gram hashes.
+
+    Scale shape: both sides explode to (id, gram_hash) — only hashes
+    shuffle, never text; the eval side is typically tiny (benchmarks) so
+    AQE broadcasts it, and the per-doc count is a partial-aggregated
+    groupBy. Every training doc comes back (left join, 0 when clean)."""
+    grams = P.ngrams_from_tokens_spark("_tk", n)
+
+    def gram_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id),
+                      F.expr(P.tokens_spark(text_col)).alias("_tk"))
+            .select(out_id, F.explode(F.expr(grams)).alias("_g"))
+            .select(out_id, F.expr(P.token_hash_spark("_g")).alias("gh"))
+        )
+    corpus = gram_hashes(docs, "doc_id")
+    evals = gram_hashes(eval_docs, "eval_id").select("gh").distinct()
+    shared = (
+        corpus.join(evals, "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_shared_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )
+
+
+def stratified_sample(docs: DataFrame, rates: dict, key_col: str = "lang",
+                      default_rate: float = 0.0, id_col: str = "doc_id",
+                      denom: int = 1_000_000) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the data-mixing
+    primitive (per-domain/language rates): keep a doc iff
+    (id·MIX mod P) mod denom < rate[stratum]·denom.
+
+    No RNG state: the decision is a pure function of doc_id, so the sample
+    is reproducible across cluster sizes, re-runs, and engines (exact
+    integer arithmetic shared with the DuckDB oracle), and a rerun after a
+    rate bump is a SUPERSET of the previous sample (monotone thresholds —
+    incremental top-ups don't reshuffle what was already kept). Narrow:
+    filter only, no shuffle."""
+    # id reduced mod P BEFORE the multiply: (id % P) · MIX ≤ 1e9 · 2.7e9
+    # < int64 max, so the arithmetic never overflows even at 10^12-scale ids
+    bucket = F.expr(
+        f"(((CAST({id_col} AS BIGINT) % {P.MOD}) * {P._MIX}L) % {P.MOD}) % {denom}"
+    )
+    thresh = F.lit(int(default_rate * denom))
+    for key, rate in sorted(rates.items()):
+        thresh = F.when(F.col(key_col) == key, F.lit(int(rate * denom))).otherwise(thresh)
+    return docs.filter(bucket < thresh)

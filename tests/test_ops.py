@@ -512,3 +512,43 @@ def test_ann_ivfpq_plan_is_cell_equi_join(emb):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # probed queries broadcast to codes
+
+
+def test_decontaminate(spark):
+    from docling_spark.ops.textstats import decontaminate
+
+    train = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "totally different words appear here now"),
+        (3, "prefix alpha beta gamma delta epsilon suffix"),
+    ], "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+           for r in decontaminate(train, evals, n=5, min_shared=1).collect()}
+    assert got[1] == (1, True)      # shares the full 5-gram
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)      # embedded occurrence still matches
+    # raising the threshold declares everything clean
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in decontaminate(train, evals, n=5, min_shared=2).collect()}
+    assert not any(strict.values())
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from docling_spark.ops.textstats import stratified_sample
+
+    rows = [(i, "x", "en" if i % 2 else "de") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    lo = {r["doc_id"] for r in
+          stratified_sample(docs, {"en": 0.2, "de": 0.6}).collect()}
+    lo2 = {r["doc_id"] for r in
+           stratified_sample(docs, {"en": 0.2, "de": 0.6}).collect()}
+    assert lo == lo2                             # fully deterministic
+    hi = {r["doc_id"] for r in
+          stratified_sample(docs, {"en": 0.4, "de": 0.8}).collect()}
+    assert lo <= hi                              # monotone: top-up = superset
+    n_en = sum(1 for d in lo if d % 2)
+    n_de = sum(1 for d in lo if not d % 2)
+    assert 40 <= n_en <= 160 and 240 <= n_de <= 360   # ~20% / ~60% of 500
