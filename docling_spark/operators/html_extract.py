@@ -281,7 +281,16 @@ def _collect_fmt(node: _Node) -> Tuple[str, Optional[str]]:
 
 
 def _classes(node: _Node) -> set:
-    return set((node.attrs.get("class") or "").split())
+    # memoized on the attrs dict itself under a reserved key: attrs dicts
+    # are shared via _ATTRS_CACHE for machine-generated HTML, so one parse
+    # serves every occurrence of the same class string (the walk calls this
+    # ~3× per node)
+    a = node.attrs
+    c = a.get("\x00cls")
+    if c is None:
+        c = set((a.get("class") or "").split())
+        a["\x00cls"] = c
+    return c
 
 
 def extract_html_spans(html: str, with_formatting: bool = False) -> List[Span]:
