@@ -879,6 +879,55 @@ def q_extract_normalized(spark, sf_dir):
     )
 
 
+def q_multimodal_neardup(spark, sf_dir):
+    """Multimodal dedup end-to-end over deterministic planted duplicates:
+    perceptual image dHash + pigeonhole hamming pairs, Haitsma/Kalker audio
+    subfingerprint shared pairs, video shared-frame-hash pairs — one row
+    per found pair with its modality. Rows-only (binary decode is not
+    SQL-expressible); the per-operator exactness is pinned by pytest
+    (known-pixel dhash values, identical-clip fingerprint equality)."""
+    import numpy as np
+
+    from docling_spark.ops.multimodal import (
+        _encode_netpbm, image_neardup_pairs, media_shared_fingerprint_pairs,
+        audio_fingerprints, synth_wav, synth_y4m, video_frame_hashes)
+
+    _ensure_workers(spark)
+    rng = np.random.RandomState(29)
+    rows = []
+    for i in range(6):  # images + noisy twins
+        base = rng.randint(0, 256, size=(32, 32, 1), dtype=np.int32).astype(np.uint8)
+        noisy = (base.astype(np.int32) + rng.randint(-5, 6, size=base.shape)).clip(0, 255).astype(np.uint8)
+        rows.append((f"img-{i}a", bytearray(_encode_netpbm(base))))
+        rows.append((f"img-{i}b", bytearray(_encode_netpbm(noisy))))
+    wavs = [synth_wav(np.random.RandomState(40 + i)) for i in range(3)]
+    for i, wv in enumerate(wavs):
+        rows.append((f"au-{i}a", bytearray(wv)))
+        rows.append((f"au-{i}b", bytearray(wv)))          # exact twin clip
+    clips = [synth_y4m(np.random.RandomState(50 + i), n_frames=15) for i in range(2)]
+    for i, cl in enumerate(clips):
+        rows.append((f"vid-{i}a", bytearray(cl)))
+        rows.append((f"vid-{i}b", bytearray(cl)))
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    img = image_neardup_pairs(media, max_hamming=10).select(
+        F.lit("image").alias("modality"), "id_a", "id_b",
+        F.col("hamming").cast("long").alias("score"),
+    )
+    au = media_shared_fingerprint_pairs(
+        audio_fingerprints(media), min_shared=3
+    ).select(
+        F.lit("audio").alias("modality"), "id_a", "id_b",
+        F.col("n_shared").cast("long").alias("score"),
+    )
+    vid = media_shared_fingerprint_pairs(
+        video_frame_hashes(media, every_n=5), fp_col="dhash", min_shared=2
+    ).select(
+        F.lit("video").alias("modality"), "id_a", "id_b",
+        F.col("n_shared").cast("long").alias("score"),
+    )
+    return img.unionByName(au).unionByName(vid)
+
+
 def q_formatted_markdown(spark, sf_dir):
     """Formatting-aware RAG export: the corpus's HTML documents through
     extract_html_formatted (inline <b>/<i>/<u>/<del>/<a> → fmt flags) into
@@ -1243,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_form_sinks": q_kv_form_sinks,
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
+        "multimodal_neardup": q_multimodal_neardup,
     }
 
 

@@ -162,27 +162,37 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     10⁹ docs; keep `bits=64` in production.) Block values are extracted
     with an unsigned shift + mask so the sign bit (bit 63) of the packed
     fingerprint is handled like any other bit."""
+    sig = simhash(docs, id_col, text_col, bits)
+    return hamming_pairs(sig, id_col, "simhash", bits, max_hamming, materialize)
+
+
+def hamming_pairs(sig: DataFrame, id_col: str, value_col: str,
+                  bits: int = 64, max_hamming: int = 3,
+                  materialize: bool = True) -> DataFrame:
+    """The pigeonhole hamming search over ANY (id, fingerprint) relation —
+    shared by simhash text near-dup and perceptual image-hash near-dup
+    (ops.multimodal.image_neardup_pairs). See simhash_neardup_pairs for the
+    construction and geometry math."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
-    sig = simhash(docs, id_col, text_col, bits)
     blocks = []
     for b in range(n_blocks):
         lo = b * width
         w = width if b < n_blocks - 1 else bits - lo  # last takes remainder
-        val = F.expr(f"shiftrightunsigned(simhash, {lo}) & {(1 << w) - 1}L")
+        val = F.expr(f"shiftrightunsigned({value_col}, {lo}) & {(1 << w) - 1}L")
         blocks.append(F.struct(F.lit(b).alias("block_id"), val.alias("block_val")))
     keyed = sig.select(
-        F.col(id_col), F.col("simhash"),
+        F.col(id_col), F.col(value_col),
         F.explode(F.array(*blocks)).alias("blk"),
-    ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
+    ).select(id_col, value_col, "blk.block_id", "blk.block_val")
     if materialize:
         # Spark has no subplan reuse: both self-join sides would recompute
-        # the 64-aggregate fingerprint fold. Materializing the block keys
-        # (8 bytes × 4 blocks/doc) is the in-query form of the production
+        # the fingerprint sub-plan. Materializing the block keys (8 bytes ×
+        # n_blocks/doc) is the in-query form of the production
         # write-fingerprints-once shape — same as the minhash band keys.
         keyed = keyed.localCheckpoint()
     a, b = keyed.alias("a"), keyed.alias("b")
-    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    ham = F.expr(f"bit_count(a.{value_col} ^ b.{value_col})")
     return (
         a.join(
             b,

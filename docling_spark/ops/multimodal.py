@@ -25,7 +25,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 MEDIA_META_DDL = (
     "media_id string, media_type string, byte_len long, sha256 string"
@@ -411,3 +411,226 @@ def synth_media_df(spark, n: int = 32, seed: int = 13) -> DataFrame:
             mtype = ["image/png", "audio/mp3", "video/mp4"][i % 3]
         rows.append((f"media-{i:04d}", mtype, bytearray(payload)))
     return spark.createDataFrame(rows, "media_id string, media_type string, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal DEDUP: perceptual hashes + fingerprints over the real decoders.
+# Image: 64-bit dHash (difference hash — the classic perceptual-dedup
+# baseline: grayscale → 9×8 nearest-neighbour downsample → bit per
+# horizontal gradient sign), searched with the SAME pigeonhole hamming join
+# as text simhash (ops.dedup.hamming_pairs). Audio: Haitsma/Kalker-style
+# band-energy-delta subfingerprints per STFT frame (Philips robust hash,
+# ISMIR'02) — duplicate search = exact subfingerprint equi-join, the
+# shared_windows shuffle shape. Video: per-sampled-frame dHash over the y4m
+# luma plane — shared-frame-hash equi-join. Compressed formats fall back to
+# a deterministic payload-digest hash (exact-dup-only signal), flagged via
+# `decoded`.
+# ---------------------------------------------------------------------------
+
+
+def _gray_f64(arr: np.ndarray) -> np.ndarray:
+    """HxWxC uint8 → HxW float64 luma (ITU-R 601 for RGB)."""
+    if arr.shape[2] == 3:
+        return (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                + 0.114 * arr[:, :, 2]).astype(np.float64)
+    return arr[:, :, 0].astype(np.float64)
+
+
+def _dhash64_from_gray(g: np.ndarray) -> int:
+    """9×8 NN downsample (same index mapping as image_resize), bit r*8+c =
+    cell[r, c] > cell[r, c+1], returned as a SIGNED 64-bit value (two's
+    complement — the convention of the simhash column, so the pigeonhole
+    join helper applies unchanged)."""
+    h, w = g.shape
+    ry = (np.arange(8) * h // 8).clip(0, h - 1)
+    rx = (np.arange(9) * w // 9).clip(0, w - 1)
+    small = g[np.ix_(ry, rx)]
+    bits = (small[:, :-1] > small[:, 1:]).flatten()  # row-major 8x8
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _payload_digest64(payload: bytes, salt: bytes = b"") -> int:
+    d = hashlib.sha256(salt + payload).digest()
+    return int.from_bytes(d[:8], "big", signed=True)
+
+
+def image_dhash(df: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """(media_id, dhash, decoded) — perceptual 64-bit difference hash.
+    Real decode for netpbm; deterministic payload-digest fallback
+    (decoded=false: exact-duplicate-only signal) for compressed formats."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = _parse_netpbm(b)
+                if parsed is not None:
+                    _w, _h, _ch, arr = parsed
+                    rows.append((str(mid), _dhash64_from_gray(_gray_f64(arr)), True))
+                else:
+                    rows.append((str(mid), _payload_digest64(b, b"dhash"), False))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash", "decoded"])
+
+    return df.mapInPandas(gen, schema="media_id string, dhash long, decoded boolean")
+
+
+def image_neardup_pairs(df: DataFrame, max_hamming: int = 10,
+                        id_col: str = "media_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """(id_a, id_b, hamming) — perceptual near-duplicate image pairs via
+    the pigeonhole block join over dHashes (identical scale shape to text
+    simhash: only 8-byte fingerprints shuffle, never pixels). dHash is
+    robust to resize/re-encode/brightness shifts; `max_hamming≈10` is the
+    conventional near-dup threshold for 64-bit dHash."""
+    from docling_spark.ops.dedup import hamming_pairs
+
+    sig = image_dhash(df, id_col, payload_col).select(id_col, "dhash")
+    return hamming_pairs(sig, id_col, "dhash", bits=64, max_hamming=max_hamming)
+
+
+def audio_fingerprints(df: DataFrame, frame: int = 1024, hop: int = 512,
+                       n_bands: int = 17, max_frames: int = 64,
+                       id_col: str = "media_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """(media_id, frame_no, fp, decoded) — per-frame 16-bit band-energy-
+    delta subfingerprints (Haitsma & Kalker, "A Highly Robust Audio
+    Fingerprinting System", ISMIR'02: bit b of frame t =
+    (E[b,t]−E[b+1,t]) − (E[b,t−1]−E[b+1,t−1]) > 0 over log-spaced bands).
+    Real decode for RIFF/WAV PCM; digest fallback (one synthetic frame,
+    decoded=false) otherwise. Duplicate search = exact fp equi-join
+    (ops.dedup.shared_window_pairs shape: only 8-byte hashes shuffle)."""
+
+    def clip_fps(samples: np.ndarray, sr: int):
+        n = (len(samples) - frame) // hop + 1 if len(samples) >= frame else 0
+        n = min(n, max_frames + 1)
+        if n < 2:
+            return []
+        # log-spaced band edges over [300 Hz, min(sr/2, 6000)] per the paper
+        lo_hz, hi_hz = 300.0, min(sr / 2.0, 6000.0)
+        edges_hz = np.exp(np.linspace(np.log(lo_hz), np.log(hi_hz), n_bands + 1))
+        bin_hz = sr / frame
+        edges = np.clip((edges_hz / bin_hz).astype(np.int64), 1, frame // 2)
+        energies = np.empty((n, n_bands), dtype=np.float64)
+        win = np.hanning(frame)
+        for t in range(n):
+            seg = samples[t * hop:t * hop + frame] * win
+            mag = np.abs(np.fft.rfft(seg)) ** 2
+            for b in range(n_bands):
+                lo, hi = edges[b], max(edges[b] + 1, edges[b + 1])
+                energies[t, b] = mag[lo:hi].sum()
+        d = energies[:, :-1] - energies[:, 1:]          # (n, n_bands-1)
+        bits = (d[1:] - d[:-1]) > 0                     # (n-1, 16)
+        out = []
+        for t in range(bits.shape[0]):
+            v = 0
+            for b in range(bits.shape[1]):
+                if bits[t, b]:
+                    v |= 1 << b
+            out.append(v)
+        return out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                decoded = _decode_wav_samples(b)
+                if decoded is not None:
+                    samples, sr = decoded
+                    for t, fp in enumerate(clip_fps(samples, sr)):
+                        rows.append((str(mid), t, fp, True))
+                else:
+                    rows.append((str(mid), 0, _payload_digest64(b, b"afp") & 0xFFFF, False))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "fp", "decoded"])
+
+    return df.mapInPandas(
+        gen, schema="media_id string, frame_no int, fp long, decoded boolean"
+    )
+
+
+def _decode_wav_samples(payload: bytes):
+    """RIFF/WAV PCM → (float64 samples in [-1,1], sample_rate); None if not
+    decodable. Same parsing rules as _decode_wav."""
+    if not payload.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            sr = wf.getframerate()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except Exception:
+        return None
+    if sr <= 0 or width not in (1, 2):
+        return None
+    if width == 2:
+        samples = np.frombuffer(frames, dtype=np.int16).astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    return samples, sr
+
+
+def _y4m_dims(payload: bytes):
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+    return (w, h) if w and h else None
+
+
+def video_frame_hashes(df: DataFrame, every_n: int = 5,
+                       id_col: str = "media_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """(media_id, frame_no, dhash, decoded) — perceptual dHash of every
+    n-th frame's LUMA plane (the first w·h bytes of a 4:2:0 y4m frame).
+    Video near-dup = shared frame-hash equi-join, optionally followed by a
+    longest-common-run check. Digest fallback for compressed containers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                frames = _demux_y4m(b)
+                dims = _y4m_dims(b) if frames is not None else None
+                if frames is not None and dims is not None:
+                    w, h = dims
+                    for i in range(0, len(frames), every_n):
+                        y = np.frombuffer(frames[i][: w * h], dtype=np.uint8)
+                        g = y.reshape(h, w).astype(np.float64)
+                        rows.append((str(mid), i, _dhash64_from_gray(g), True))
+                else:
+                    rows.append((str(mid), 0, _payload_digest64(b, b"vfh"), False))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "dhash", "decoded"])
+
+    return df.mapInPandas(
+        gen, schema="media_id string, frame_no int, dhash long, decoded boolean"
+    )
+
+
+def media_shared_fingerprint_pairs(fp_df: DataFrame, id_col: str = "media_id",
+                                   fp_col: str = "fp",
+                                   min_shared: int = 2) -> DataFrame:
+    """(id_a, id_b, n_shared) over any per-frame fingerprint relation —
+    exact equi-join on the fingerprint value (only 8-byte hashes shuffle),
+    thresholded on the number of distinct shared fingerprints. Feed it
+    audio_fingerprints or video_frame_hashes output."""
+    a = fp_df.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("_f")).distinct()
+    b = fp_df.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("_f")).distinct()
+    return (
+        a.join(b, "_f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("_f").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -552,3 +552,96 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     n_en = sum(1 for d in lo if d % 2)
     n_de = sum(1 for d in lo if not d % 2)
     assert 40 <= n_en <= 160 and 240 <= n_de <= 360   # ~20% / ~60% of 500
+
+
+def test_image_dhash_known_values(spark):
+    import numpy as np
+
+    from docling_spark.ops.multimodal import (
+        _dhash64_from_gray, _encode_netpbm, image_dhash)
+
+    # monotone-increasing columns: every left pixel < right pixel → all
+    # bits 0; decreasing → all 64 bits set → signed -1
+    inc = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    assert _dhash64_from_gray(inc.astype(np.float64)) == 0
+    assert _dhash64_from_gray(inc[:, ::-1].astype(np.float64)) == -1
+
+    df = spark.createDataFrame(
+        [("a", bytearray(_encode_netpbm(inc[:, :, None]))),
+         ("b", bytearray(b"\x89PNG not decodable"))],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: (r["dhash"], r["decoded"]) for r in image_dhash(df).collect()}
+    assert got["a"] == (0, True)
+    assert got["b"][1] is False          # digest fallback flagged
+
+
+def test_image_neardup_pairs_planted(spark):
+    import numpy as np
+
+    from docling_spark.ops.multimodal import _encode_netpbm, image_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, size=(32, 32, 1), dtype=np.int32).astype(np.uint8)
+    noisy = base.astype(np.int32) + rng.randint(-6, 7, size=base.shape)
+    noisy = noisy.clip(0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, size=(32, 32, 1), dtype=np.int32).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("img-0", bytearray(_encode_netpbm(base))),
+         ("img-1", bytearray(_encode_netpbm(noisy))),
+         ("img-2", bytearray(_encode_netpbm(other)))],
+        "media_id string, payload binary",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_neardup_pairs(df, max_hamming=10).collect()}
+    assert ("img-0", "img-1") in pairs       # noise survives the dHash
+    assert ("img-0", "img-2") not in pairs and ("img-1", "img-2") not in pairs
+
+
+def test_audio_fingerprints_and_shared_pairs(spark):
+    import numpy as np
+
+    from docling_spark.ops.multimodal import (
+        audio_fingerprints, media_shared_fingerprint_pairs, synth_wav)
+
+    rng1, rng2 = np.random.RandomState(5), np.random.RandomState(9)
+    a = synth_wav(rng1)
+    b = synth_wav(rng2)
+    df = spark.createDataFrame(
+        [("au-0", bytearray(a)), ("au-1", bytearray(a)), ("au-2", bytearray(b)),
+         ("au-3", bytearray(b"not audio"))],
+        "media_id string, payload binary",
+    )
+    fps = audio_fingerprints(df)
+    rows = fps.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["frame_no"], r["fp"], r["decoded"]))
+    assert sorted(by_id["au-0"]) == sorted(by_id["au-1"])   # same clip → same fps
+    assert all(d for _n, _f, d in by_id["au-0"])
+    assert by_id["au-3"] == [(0, by_id["au-3"][0][1], False)]  # digest fallback
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in media_shared_fingerprint_pairs(fps, min_shared=3).collect()}
+    assert ("au-0", "au-1") in pairs
+
+
+def test_video_frame_hashes_shared(spark):
+    import numpy as np
+
+    from docling_spark.ops.multimodal import (
+        media_shared_fingerprint_pairs, synth_y4m, video_frame_hashes)
+
+    clip = synth_y4m(np.random.RandomState(4), n_frames=20)
+    other = synth_y4m(np.random.RandomState(8), n_frames=20)
+    df = spark.createDataFrame(
+        [("v-0", bytearray(clip)), ("v-1", bytearray(clip)),
+         ("v-2", bytearray(other))],
+        "media_id string, payload binary",
+    )
+    fh = video_frame_hashes(df, every_n=5)
+    got = fh.collect()
+    assert all(r["decoded"] for r in got)
+    assert {r["frame_no"] for r in got if r["media_id"] == "v-0"} == {0, 5, 10, 15}
+    pairs = {(r["id_a"], r["id_b"]) for r in media_shared_fingerprint_pairs(
+        fh, fp_col="dhash", min_shared=2).collect()}
+    assert ("v-0", "v-1") in pairs
