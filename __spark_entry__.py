@@ -1293,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
         "multimodal_neardup": q_multimodal_neardup,
+        "doctags_roundtrip": q_doctags_roundtrip,
     }
 
 
@@ -2297,6 +2298,91 @@ def _duck_html_sink_sql() -> str:
     """
 
 
+def q_doctags_roundtrip(spark, sf_dir):
+    """DocTags SOURCE: render the normalized corpus to the doctags token
+    stream (the sink), then parse it back with sources.readers.read_doctags
+    — the ingestion path for docling VLM outputs. The oracle derives the
+    expected coarsened spans directly from the normalized parquet (heading
+    kinds → section_header + '#level-N', plain kinds → text, OTSL tables →
+    dense row-major grids with stream-ordinal refs), so the comparison
+    proves render ∘ parse loses exactly the documented tag-granularity
+    information and nothing else."""
+    from docling_spark.operators.serialize import doctags_sink
+    from docling_spark.sources.readers import read_doctags
+
+    _ensure_workers(spark)
+    norm = spark.read.parquet(_normalized_path(sf_dir))
+    spans = read_doctags(doctags_sink(norm))
+    return spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _duck_doctags_roundtrip_sql() -> str:
+    """See q_doctags_roundtrip."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    return f"""
+        WITH {_duck_sink_base_cte(path)},
+        tblocks AS (
+          SELECT doc_id, block_id, bo,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY block_id) - 1 AS ti
+          FROM celldims
+        ),
+        gridpos AS (
+          SELECT l.doc_id, l.block_id, l.r, w.ncols, u.i AS c
+          FROM lattice l JOIN blockwidth w USING (doc_id, block_id),
+               unnest(range(0, w.ncols)) u(i)
+        ),
+        cellspans AS (
+          SELECT g.doc_id, tb.bo AS bo, (g.r * g.ncols + g.c) AS seq,
+                 'table_cell' AS kind,
+                 coalesce(cl.ct, '') AS text,
+                 concat('#/tables/', tb.ti, '/r', g.r, 'c', g.c) AS media_ref
+          FROM gridpos g
+          JOIN tblocks tb USING (doc_id, block_id)
+          LEFT JOIN cells cl ON cl.doc_id = g.doc_id
+                AND cl.block_id = g.block_id AND cl.r = g.r AND cl.pos = g.c
+        ),
+        noncell AS (
+          SELECT doc_id, o AS bo, 0 AS seq,
+                 CASE kind
+                   WHEN 'title' THEN 'title'
+                   WHEN 'part' THEN 'section_header'
+                   WHEN 'section_header' THEN 'section_header'
+                   WHEN 'paragraph' THEN 'section_header'
+                   WHEN 'annex' THEN 'section_header'
+                   WHEN 'paragraph_title' THEN 'section_header'
+                   WHEN 'media' THEN 'media'
+                   WHEN 'caption' THEN 'caption'
+                   WHEN 'footnote' THEN 'footnote'
+                   WHEN 'list_item' THEN 'list_item'
+                   ELSE 'text' END AS kind,
+                 coalesce(text, '') AS text,
+                 CASE kind
+                   WHEN 'part' THEN '#level-1'
+                   WHEN 'section_header' THEN '#level-2'
+                   WHEN 'paragraph' THEN '#level-2'
+                   WHEN 'annex' THEN '#level-2'
+                   WHEN 'paragraph_title' THEN '#level-3'
+                 END AS media_ref
+          FROM b WHERE cat IN ('x', 'l')
+        ),
+        allspans AS (
+          SELECT * FROM noncell UNION ALL SELECT * FROM cellspans
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bo, seq) - 1
+                    AS INTEGER) AS "offset",
+               kind, text, media_ref
+        FROM allspans
+    """
+
+
 def _duck_doctags_sink_sql() -> str:
     """S7c oracle: render_doctags reproduced in SQL (document tokens, OTSL
     tables with ched/fcel/ecel/nl and ecel padding to the block width)."""
@@ -3033,6 +3119,7 @@ def oracle_sql() -> dict[str, str]:
         "markdown_sink": _duck_markdown_sink_sql(),
         "html_sink": _duck_html_sink_sql(),
         "doctags_sink": _duck_doctags_sink_sql(),
+        "doctags_roundtrip": _duck_doctags_roundtrip_sql(),
         "latex_sink": _duck_latex_sink_sql(),
         "hybrid_chunks": _duck_hybrid_chunks_sql(),
         "render_triplets": _duck_triplets_sql(),

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional
 
 import yaml
@@ -344,3 +345,88 @@ def integrate_annexes(extracted: DataFrame, manifest: DataFrame) -> DataFrame:
             F.col("found_title").isNotNull().alias("resolved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DocTags source (S-family): parse the doctags token stream BACK into spans.
+# DocTags is docling's model-output format (SmolDocling/VLM emission;
+# reference serializer: transforms/serializer/doctags.py) — reading it means
+# ingesting vision-model outputs directly. Inverse of
+# operators.serialize.render_doctags at tag granularity: heading kinds
+# coarsen to section_header with the level kept in media_ref ('#level-N'),
+# plain-text kinds (text/odsek/pismeno/subitem) collapse to 'text', tables
+# reconstruct from OTSL (ched/fcel/ecel/nl) into dense row-major
+# table_cell spans with fresh '#/tables/{i}/r{r}c{c}' refs (i = per-doc
+# stream ordinal). Like the format itself, unescaped: a literal closing
+# tag inside text would truncate that item.
+# ---------------------------------------------------------------------------
+
+_DT_ITEM_RE = re.compile(
+    r"<(section_header_level_\d+|title|text|caption|footnote|picture|list_item)>"
+    r"(.*?)</\1>|<otsl>(.*?)</otsl>",
+    re.DOTALL,
+)
+_DT_CELL_RE = re.compile(r"<(ched|fcel|ecel|nl)>([^<]*)")
+
+
+def parse_doctags(payload: str):
+    """One doctags document string → ordered (kind, text, media_ref) list."""
+    body = payload or ""
+    if body.startswith("<doctag>"):
+        body = body[len("<doctag>"):]
+    stripped = body.rstrip()
+    if stripped.endswith("</doctag>"):
+        body = stripped[: -len("</doctag>")]
+    out = []
+    ti = 0
+    for m in _DT_ITEM_RE.finditer(body):
+        if m.group(1):
+            tag, text = m.group(1), m.group(2)
+            if tag == "title":
+                out.append(("title", text, None))
+            elif tag.startswith("section_header_level_"):
+                level = int(tag.rsplit("_", 1)[1])
+                out.append(("section_header", text, f"#level-{level}"))
+            elif tag == "picture":
+                out.append(("media", text, None))
+            elif tag in ("caption", "footnote", "list_item"):
+                out.append((tag, text, None))
+            else:
+                out.append(("text", text, None))
+        else:
+            r = c = 0
+            for cm in _DT_CELL_RE.finditer(m.group(3)):
+                tok, txt = cm.group(1), cm.group(2)
+                if tok == "nl":
+                    r += 1
+                    c = 0
+                    continue
+                out.append(
+                    ("table_cell", "" if tok == "ecel" else txt,
+                     f"#/tables/{ti}/r{r}c{c}")
+                )
+                c += 1
+            ti += 1
+    return out
+
+
+def read_doctags(df: DataFrame, payload_col: str = "doctags",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, doctags string) → (doc_id, spans) in the canonical 4-field
+    shape. Document-local parse → narrow mapInPandas, zero shuffle."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                spans = [
+                    {"kind": k, "text": t, "media_ref": r, "offset": i}
+                    for i, (k, t, r) in enumerate(parse_doctags(payload))
+                ]
+                rows.append((str(mid), spans))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    from docling_spark.schema import DOC_DDL
+
+    return df.mapInPandas(gen, schema=DOC_DDL)

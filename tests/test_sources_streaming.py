@@ -407,3 +407,93 @@ def test_streaming_formatted_extraction_composition(spark, corpus_path, tmp_path
         .count()
     )
     assert diff == 0
+
+
+def _coarsen_for_doctags(spans):
+    """Expected render∘parse result, straight from the documented rules."""
+    out = []
+    table_rows, table_idx, ti = [], None, -1
+
+    def flush_table():
+        nonlocal table_rows, table_idx
+        if not table_rows:
+            return
+        ncols = max(len(r) for r in table_rows)
+        for r, row in enumerate(table_rows):
+            for c in range(ncols):
+                t = row[c] if c < len(row) else ""
+                out.append(("table_cell", t, f"#/tables/{ti}/r{r}c{c}"))
+        table_rows, table_idx = [], None
+
+    heading_level = {"part": 1, "section_header": 2, "paragraph": 2,
+                     "annex": 2, "paragraph_title": 3}
+    for kind, text, ref in spans:
+        if kind == "table_cell":
+            tid = (ref or "").split("/r")[0]
+            if table_idx is not None and tid != table_idx:
+                flush_table()
+            if table_idx is None or tid != table_idx:
+                if table_idx is None:
+                    ti += 1
+            table_idx = tid
+            row_tag = (ref or "").rsplit("/r", 1)[-1]
+            head = row_tag.split("c")[0]
+            r = int(head) if head.isdigit() else 0
+            while len(table_rows) <= r:
+                table_rows.append([])
+            table_rows[r].append((text or "").strip())
+            continue
+        flush_table()
+        if kind == "title":
+            out.append(("title", text, None))
+        elif kind in heading_level:
+            out.append(("section_header", text, f"#level-{heading_level[kind]}"))
+        elif kind == "media":
+            out.append(("media", text, None))
+        elif kind in ("caption", "footnote", "list_item"):
+            out.append((kind, text, None))
+        else:
+            out.append(("text", text, None))
+    flush_table()
+    return out
+
+
+def test_doctags_roundtrip_over_golden_corpus():
+    # render ∘ parse must lose exactly the documented tag-granularity
+    # information: verified per-doc over the full 60-doc synth corpus
+    from docling_spark.operators.serialize import render_doctags
+    from docling_spark.pipeline import extract_document
+    from docling_spark.sources.readers import parse_doctags
+    from docling_spark.synth import synth_corpus
+
+    n_tables = 0
+    for doc_id, raw in synth_corpus(60, seed=42):
+        spans = extract_document(raw)
+        got = parse_doctags(render_doctags(spans))
+        assert got == _coarsen_for_doctags(spans), f"roundtrip diverged for {doc_id}"
+        n_tables += sum(1 for k, _t, _r in got if k == "table_cell")
+    assert n_tables > 0      # the corpus genuinely exercises OTSL tables
+
+
+def test_read_doctags_spark(spark):
+    from docling_spark.sources.readers import read_doctags
+
+    payload = (
+        "<doctag><title>Zákon</title>\n"
+        "<section_header_level_1>PRVÁ ČASŤ</section_header_level_1>\n"
+        "<otsl><ched>A<ched>B<nl><fcel>1<ecel><nl></otsl>\n"
+        "<unordered_list>\n<list_item>bod</list_item>\n</unordered_list>"
+        "</doctag>\n"
+    )
+    df = spark.createDataFrame([("d1", payload)], "doc_id string, doctags string")
+    out = read_doctags(df).collect()[0]
+    spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["spans"]]
+    assert spans == [
+        ("title", "Zákon", None, 0),
+        ("section_header", "PRVÁ ČASŤ", "#level-1", 1),
+        ("table_cell", "A", "#/tables/0/r0c0", 2),
+        ("table_cell", "B", "#/tables/0/r0c1", 3),
+        ("table_cell", "1", "#/tables/0/r1c0", 4),
+        ("table_cell", "", "#/tables/0/r1c1", 5),
+        ("list_item", "bod", None, 6),
+    ]
