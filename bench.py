@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "latex_sink",
     "chunk_export_rag",
     "hybrid_chunks",
+    "doctags_roundtrip",
 ]
 
 

@@ -319,3 +319,28 @@ def test_hybrid_chunker_budget_invariant_on_arbitrary_streams(spans, budget):
         # word (emitted alone by the K3 fallback)
         if n_tokens > budget:
             assert len(content.split()) == 1
+
+
+def test_parse_doctags_never_raises_fuzz():
+    # ingestion paths must degrade, not crash, on arbitrary model output
+    from hypothesis import given, settings, strategies as st
+
+    from docling_spark.sources.readers import parse_doctags
+
+    tags = st.sampled_from([
+        "<doctag>", "</doctag>", "<text>", "</text>", "<otsl>", "</otsl>",
+        "<ched>", "<fcel>", "<ecel>", "<nl>", "<title>", "</title>",
+        "<section_header_level_2>", "</section_header_level_2>",
+        "<picture>", "</picture>", "<list_item>", "</list_item>", "<",
+    ])
+    chunks = st.lists(st.one_of(tags, st.text(max_size=12)), max_size=24)
+
+    @settings(max_examples=300, deadline=None)
+    @given(parts=chunks)
+    def run(parts):
+        out = parse_doctags("".join(parts))
+        assert isinstance(out, list)
+        for k, t, r in out:
+            assert isinstance(k, str) and isinstance(t, str)
+
+    run()
