@@ -478,6 +478,17 @@ def q_neardup_curation(spark, sf_dir):
     )
 
 
+def q_substring_dedup(spark, sf_dir):
+    # the Lee et al. ACL'22 ExactSubstr FIX: remove every token covered by
+    # a 10-token window occurring in ≥2 documents; docs survive minus the
+    # duplicated runs
+    from docling_spark.ops.dedup import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(
+        _t(spark, sf_dir, "documents"), window=10, min_df=2
+    ).select("doc_id", "text_dedup", "n_tokens_removed")
+
+
 def q_decontamination(spark, sf_dir):
     # eval-set n-gram-overlap decontamination (GPT-3 app. C / Gopher §A.3):
     # deterministic eval subset = doc_id % 97 == 0; only gram hashes shuffle
@@ -1292,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_form_sinks": q_kv_form_sinks,
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
+        "substring_dedup": q_substring_dedup,
         "multimodal_neardup": q_multimodal_neardup,
         "doctags_roundtrip": q_doctags_roundtrip,
     }
@@ -1418,6 +1430,45 @@ def _duck_repetition_sql() -> str:
                coalesce(ba.n_bigrams, 0) AS n_bigrams,
                coalesce(ba.top_bigram_count, 0) AS top_bigram_count
         FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+    """
+
+
+def _duck_substring_dedup_sql(window: int = 10, min_df: int = 2) -> str:
+    """Mirror of remove_duplicate_substrings: per-position window hashes →
+    df count → flagged starts per doc → coverage-mask token filter."""
+    th = P.token_hash_duck(
+        f"array_to_string(list_slice(tk, i, i + {window - 1}), ' ')"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {P.tokens_duck('text')} AS tk FROM documents),
+        occ AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(tk) - {window - 1}, 0) + 1),
+                   i -> {{'i': i, 'wh': {th}}})) AS o
+          FROM t),
+        o2 AS (SELECT doc_id, o.i AS i, o.wh AS wh FROM occ),
+        flagged AS (
+          SELECT wh FROM (
+            SELECT wh, count(DISTINCT doc_id) AS df FROM o2 GROUP BY wh)
+          WHERE df >= {min_df}),
+        starts AS (
+          SELECT o2.doc_id, list_sort(list(DISTINCT o2.i)) AS ss
+          FROM o2 JOIN flagged USING (wh) GROUP BY o2.doc_id),
+        j AS (
+          SELECT t.doc_id, t.tk,
+                 coalesce(s.ss, CAST([] AS BIGINT[])) AS ss
+          FROM t LEFT JOIN starts s ON t.doc_id = s.doc_id),
+        k AS (
+          SELECT doc_id, tk,
+                 list_filter(range(1, len(tk) + 1), t ->
+                   len(list_filter(ss, s -> s <= t AND t < s + {window})) = 0
+                 ) AS kept
+          FROM j)
+        SELECT doc_id,
+               coalesce(array_to_string(
+                 list_transform(kept, t -> tk[t]), ' '), '') AS text_dedup,
+               CAST(len(tk) - len(kept) AS BIGINT) AS n_tokens_removed
+        FROM k
     """
 
 
@@ -3082,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_groups": _duck_dup_groups_sql(),
         "neardup_curation": _duck_neardup_curation_sql(),
         "decontamination": _duck_decontamination_sql(),
+        "substring_dedup": _duck_substring_dedup_sql(),
         "stratified_sample": _duck_stratified_sample_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),

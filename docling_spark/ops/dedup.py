@@ -513,3 +513,68 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     for t in terms[1:]:
         total = total + t
     return d.select(F.col(id_col), total.cast("long").alias("simhash"))
+
+
+def remove_duplicate_substrings(docs: DataFrame, window: int = 10,
+                                min_df: int = 2, max_df: int | None = None,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """The actual fix of Lee et al. ACL'22 §4 (ExactSubstr): REMOVE every
+    token covered by a `window`-token span that occurs in ≥ `min_df`
+    documents, keep the documents. Returns
+    (doc_id, text_dedup, n_tokens_removed) — text re-joined with single
+    spaces (whitespace-normalized, like every tokenized path here).
+
+    Construction (suffix-array-free): explode (doc, start, window-hash)
+    occurrences → document-frequency per hash (one grouped distinct count —
+    only 8-byte hashes shuffle) → flagged hashes semi-join back to per-doc
+    start offsets → per-doc coverage mask evaluated as an array filter
+    (token kept iff no flagged window starts within the preceding
+    window-1 positions). `max_df` optionally exempts ultra-viral windows
+    from REMOVAL (when boilerplate is handled by a separate filter and
+    removal should target true duplication only).
+
+    Scale shape: two narrow passes + one hash-keyed aggregate + one
+    broadcastable semi-join; per-doc masking is O(tokens × flagged-starts)
+    — flagged starts per doc are few by construction (they are the
+    duplicated runs)."""
+    hash_win = P.token_hash_spark(f"array_join(slice(_tk, i, {window}), chr(32))")
+    toks = docs.select(
+        F.col(id_col), F.expr(P.tokens_spark(text_col)).alias("_tk")
+    )
+    occ = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(slice(sequence(1, size(_tk)), 1, "
+                f"greatest(size(_tk) - {window - 1}, 0)), "
+                f"i -> struct(i AS i, {hash_win} AS wh))"
+            )
+        ).alias("o"),
+    ).select(id_col, F.col("o.i").alias("i"), F.col("o.wh").alias("wh"))
+    df_counts = (
+        occ.select("wh", id_col).distinct()
+        .groupBy("wh").agg(F.count("*").alias("_df"))
+    )
+    flagged = df_counts.filter(F.col("_df") >= min_df)
+    if max_df is not None:
+        flagged = flagged.filter(F.col("_df") <= max_df)
+    starts = (
+        occ.join(flagged.select("wh"), "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("i")).alias("_ss"))
+    )
+    joined = toks.join(starts, id_col, "left").withColumn(
+        "_ss", F.coalesce(F.col("_ss"), F.expr("CAST(array() AS array<int>)"))
+    )
+    kept = (
+        f"filter(sequence(1, size(_tk)), t -> "
+        f"NOT exists(_ss, s -> s <= t AND t < s + {window}))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.expr(
+            f"array_join(transform({kept}, t -> element_at(_tk, t)), ' ')"
+        ).alias("text_dedup"),
+        F.expr(f"size(_tk) - size({kept})").cast("long").alias("n_tokens_removed"),
+    )

@@ -645,3 +645,33 @@ def test_video_frame_hashes_shared(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in media_shared_fingerprint_pairs(
         fh, fp_col="dhash", min_shared=2).collect()}
     assert ("v-0", "v-1") in pairs
+
+
+def test_remove_duplicate_substrings(spark):
+    from docling_spark.ops.dedup import remove_duplicate_substrings
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"alpha {shared} beta"),
+        (2, f"gamma {shared} delta"),
+        (3, "totally unrelated text with several words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_dedup"], r["n_tokens_removed"])
+           for r in remove_duplicate_substrings(docs, window=5, min_df=2).collect()}
+    # the 5-token shared run is excised from BOTH docs; unique words survive
+    assert got[1] == ("alpha beta", 5)
+    assert got[2] == ("gamma delta", 5)
+    assert got[3] == ("totally unrelated text with several words here", 0)
+
+    # overlapping flagged windows mask the union of their coverage
+    rows2 = [
+        (1, "a b c d e f g tail1"),
+        (2, "a b c d e f g tail2"),
+    ]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r["doc_id"]: (r["text_dedup"], r["n_tokens_removed"])
+            for r in remove_duplicate_substrings(docs2, window=5, min_df=2).collect()}
+    # windows at starts 1,2,3 are all shared → tokens 1..7 covered
+    assert got2[1] == ("tail1", 7)
+    assert got2[2] == ("tail2", 7)
