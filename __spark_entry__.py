@@ -1495,7 +1495,8 @@ def _duck_stratified_sample_sql(denom: int = 1_000_000) -> str:
     for key, t in sorted(rates.items()):
         thresh += f"WHEN lang = '{key}' THEN {t} "
     thresh += "ELSE 100000 END"
-    bucket = f"(((CAST(doc_id AS BIGINT) % {P.MOD}) * {P._MIX}) % {P.MOD}) % {denom}"
+    bucket = (f"((((CAST(doc_id AS BIGINT) % {P.MOD} + {P.MOD}) % {P.MOD})"
+              f" * {P._MIX}) % {P.MOD}) % {denom}")
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
         FROM documents WHERE {bucket} < {thresh}

@@ -244,9 +244,14 @@ def stratified_sample(docs: DataFrame, rates: dict, key_col: str = "lang",
     incremental top-ups don't reshuffle what was already kept). Narrow:
     filter only, no shuffle."""
     # id reduced mod P BEFORE the multiply: (id % P) · MIX ≤ 1e9 · 2.7e9
-    # < int64 max, so the arithmetic never overflows even at 10^12-scale ids
+    # < int64 max, so the arithmetic never overflows even at 10^12-scale
+    # ids. The inner (x % P + P) % P folds negative ids into [0, P) — both
+    # engines' % truncates toward zero, so a bare % would give a NEGATIVE
+    # bucket for a negative id, which compares below every threshold and
+    # silently keeps the row at any rate.
     bucket = F.expr(
-        f"(((CAST({id_col} AS BIGINT) % {P.MOD}) * {P._MIX}L) % {P.MOD}) % {denom}"
+        f"((((CAST({id_col} AS BIGINT) % {P.MOD} + {P.MOD}) % {P.MOD})"
+        f" * {P._MIX}L) % {P.MOD}) % {denom}"
     )
     thresh = F.lit(int(default_rate * denom))
     for key, rate in sorted(rates.items()):

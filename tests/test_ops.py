@@ -549,6 +549,13 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     hi = {r["doc_id"] for r in
           stratified_sample(docs, {"en": 0.4, "de": 0.8}).collect()}
     assert lo <= hi                              # monotone: top-up = superset
+    # negative ids fold into [0, P) instead of always passing the threshold
+    neg = spark.createDataFrame(
+        [(-i, "x", "en") for i in range(1, 401)],
+        "doc_id long, text string, lang string",
+    )
+    kept_neg = stratified_sample(neg, {"en": 0.2}).count()
+    assert 40 <= kept_neg <= 160                 # ~20%, not 100%
     n_en = sum(1 for d in lo if d % 2)
     n_de = sum(1 for d in lo if not d % 2)
     assert 40 <= n_en <= 160 and 240 <= n_de <= 360   # ~20% / ~60% of 500
