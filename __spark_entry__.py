@@ -478,6 +478,21 @@ def q_neardup_curation(spark, sf_dir):
     )
 
 
+def q_curation_e2e(spark, sf_dir):
+    # the full text-curation composition: exact-substring removal (ACL'22
+    # ExactSubstr) feeding the quality + language + exact-dedup keep-first
+    # pass — one pipeline, every stage the same math its per-stage oracle
+    # verifies
+    from docling_spark.ops.dedup import remove_duplicate_substrings
+    from docling_spark.ops.textstats import curation_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = remove_duplicate_substrings(docs, window=10, min_df=2).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    return curation_pipeline(dd, min_quality=0.3, lang="en")
+
+
 def q_substring_dedup(spark, sf_dir):
     # the Lee et al. ACL'22 ExactSubstr FIX: remove every token covered by
     # a 10-token window occurring in ≥2 documents; docs survive minus the
@@ -1304,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "stratified_sample": q_stratified_sample,
         "substring_dedup": q_substring_dedup,
+        "curation_e2e": q_curation_e2e,
         "multimodal_neardup": q_multimodal_neardup,
         "doctags_roundtrip": q_doctags_roundtrip,
     }
@@ -1314,7 +1330,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _duck_lang_id_sql() -> str:
+def _duck_curation_sql(source: str = "documents",
+                       min_quality: float = 0.5,
+                       extra_cte: str = "") -> str:
+    """Quality gate + language filter + exact-dedup keep-first over any
+    (doc_id, text) relation; `extra_cte` lets a caller prepend the relation
+    definition (e.g. the substring-dedup subquery for curation_e2e)."""
+    toks = P.tokens_duck("text")
+    cue_all = "|".join(w for ws in LANG_CUES.values() for w in ws)
+    lead = f"{extra_cte}," if extra_cte else ""
+    return f"""
+            WITH {lead} s AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_computed,
+                     len({toks}) AS n_tokens,
+                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                     len(regexp_extract_all(text, '\\b({cue_all})\\b')) AS n_stop
+              FROM {source}
+            ), q AS (
+              SELECT doc_id,
+                     round(
+                       least(CAST(n_chars_computed AS DOUBLE) / 500.0, 1.0) * 0.4
+                       + least(round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) * 5.0, 1.0) * 0.4
+                       + (1.0 - least(round(CAST(n_punct AS DOUBLE) / greatest(n_chars_computed, 1), 6) * 20.0, 1.0)) * 0.2,
+                       6) AS quality
+              FROM s
+            ), lng AS ({_duck_lang_id_sql(source)}),
+            d AS (
+              SELECT doc_id, md5(text) AS text_hash,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS dup_rank
+              FROM {source}
+            )
+            SELECT d.doc_id, d.text_hash,
+                   CAST(floor(q.quality * 1000000) AS BIGINT) AS quality_e6
+            FROM d JOIN q USING (doc_id) JOIN lng USING (doc_id)
+            WHERE d.dup_rank = 1 AND lng.lang_guess = 'en' AND q.quality >= {min_quality}
+    """
+
+
+def _duck_curation_e2e_sql() -> str:
+    """Substring removal feeding the curation pass — the full text-pipeline
+    composition, every stage the same SQL the per-stage oracles use."""
+    dd = (
+        "dd AS (SELECT doc_id, text_dedup AS text FROM ("
+        + _duck_substring_dedup_sql()
+        + ") x)"
+    )
+    return _duck_curation_sql("dd", 0.3, extra_cte=dd)
+
+
+def _duck_lang_id_sql(source: str = "documents") -> str:
     score_cols = ", ".join(
         f"len(regexp_extract_all(text, '\\b({'|'.join(ws)})\\b')) AS score_{lang}"
         for lang, ws in LANG_CUES.items()
@@ -1327,7 +1392,7 @@ def _duck_lang_id_sql() -> str:
             f"CASE WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}' ELSE {guess} END"
         )
     return f"""
-        WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+        WITH s AS (SELECT doc_id, {score_cols} FROM {source})
         SELECT doc_id, {guess} AS lang_guess, CAST({best} AS BIGINT) AS lang_score FROM s
     """
 
@@ -3071,33 +3136,8 @@ def oracle_sql() -> dict[str, str]:
                         '\+?[0-9][0-9 \-]{7,}[0-9]')) AS BIGINT) AS n_phones
             FROM e
         """,
-        "curation_pipeline": f"""
-            WITH s AS (
-              SELECT doc_id,
-                     CAST(length(text) AS BIGINT) AS n_chars_computed,
-                     len({toks}) AS n_tokens,
-                     len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-                     len(regexp_extract_all(text, '\\b({cue_all})\\b')) AS n_stop
-              FROM documents
-            ), q AS (
-              SELECT doc_id,
-                     round(
-                       least(CAST(n_chars_computed AS DOUBLE) / 500.0, 1.0) * 0.4
-                       + least(round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) * 5.0, 1.0) * 0.4
-                       + (1.0 - least(round(CAST(n_punct AS DOUBLE) / greatest(n_chars_computed, 1), 6) * 20.0, 1.0)) * 0.2,
-                       6) AS quality
-              FROM s
-            ), lng AS ({_duck_lang_id_sql()}),
-            d AS (
-              SELECT doc_id, md5(text) AS text_hash,
-                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS dup_rank
-              FROM documents
-            )
-            SELECT d.doc_id, d.text_hash,
-                   CAST(floor(q.quality * 1000000) AS BIGINT) AS quality_e6
-            FROM d JOIN q USING (doc_id) JOIN lng USING (doc_id)
-            WHERE d.dup_rank = 1 AND lng.lang_guess = 'en' AND q.quality >= 0.5
-        """,
+        "curation_pipeline": _duck_curation_sql(),
+        "curation_e2e": _duck_curation_e2e_sql(),
         "minhash_signature": _duck_minhash_sig_sql(),
         "minhash_band_pairs": _duck_minhash_pairs_sql(),
         "ngram_jaccard": _duck_ngram_jaccard_sql(),
