@@ -163,7 +163,9 @@ def render_markdown(spans: List[Span]) -> str:
       docling-core's serializer rules (_md_post_process: underscore +
       html escaping, **B** */I/* ~~S~~ wrappers, [text](url) hyperlinks),
       and fragments flagged 'c' (continuation) rejoin into one flowing
-      paragraph — the stream `extract_html_formatted` produces."""
+      paragraph with single-space joins — exactly how the reference's own
+      inline-group serializer assembles parts (`" ".join(...)`,
+      markdown.py:673) — the stream `extract_html_formatted` produces."""
     formatted = any(len(s) >= 4 for s in spans)
     out: List[str] = []
     table_rows: List[List[str]] = []
