@@ -1244,8 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all entries.
     """
     return {
-        # -- window (first 50): one entry per operator family, all oracled
-        #    except the flagship rows-only `extract_normalized` -----------
+        # -- window (first 50): one entry per operator family, all 50 fully
+        #    oracled (rows+schema+hash green in CORRECTNESS_r03) -----------
         "anti_join_audit": q_anti_join_audit,
         "asof_last_marker": q_asof_last_marker,
         "range_join_bands": q_range_join_bands,

@@ -78,7 +78,9 @@ def salt_by_weight(df: DataFrame, num_partitions: int, n_buckets: int = 64) -> D
                 F.col("bucket") == b, F.pmod(F.xxhash64("doc_id"), F.lit(k))
             ).otherwise(sub_col)
     w = w.withColumn("sub", sub_col.cast("int"))
-    if max(sub_k.values()) > 1:
+    # `default=1`: an empty input yields no buckets at all (counts == {});
+    # fall through to the no-sub-salt path and return the empty frame.
+    if max(sub_k.values(), default=1) > 1:
         pair_counts = dict(
             ((r["bucket"], r["sub"]), r["n"])
             for r in w.groupBy("bucket", "sub").agg(F.count("*").alias("n")).collect()

@@ -97,38 +97,70 @@ def _html_post_process(text: str, fmt: str, hyperlink: Optional[str]) -> str:
 
 # key-value / form span kinds (docling-JSON reader flattening of
 # document.py:2560-2562 GraphData items): a `kv`/`form_field` span carries a
-# key cell's text, immediately followed by one or more `kv_value`/
-# `form_value` spans. Consecutive pairs with the same key merge (the
-# reference serializer's value_links grouping, html.py:585-598).
+# key cell's text, one or more `kv_value`/`form_value` spans carry values.
+# The reference serializer groups ALL values per key cell in FIRST-SEEN
+# order (value_links dict keyed on source_cell_id, html.py:556-598), so two
+# links to the same key merge into one <dt> even when interleaved with other
+# keys, and two distinct key cells with identical text stay separate. The
+# reader threads that identity through the span ref ('#/<arr>/<i>/c<id>' on
+# both the key and its value spans); refs without the '/c' suffix fall back
+# to grouping by key text (still region-wide, the closest approximation
+# identity-less spans allow). A ref whose item prefix changes opens a new
+# region, matching the one-<div>-per-item reference output.
 _KV_KEY_KINDS = {"kv": "key-value-region", "form_field": "form-container"}
 _KV_VALUE_OF = {"kv_value": "kv", "form_value": "form_field"}
 
 
+def _kv_item_prefix(ref: Optional[str]) -> Optional[str]:
+    return ref.split("/c", 1)[0] if ref else ref
+
+
 class _KvRegion:
-    """Accumulates one contiguous key-value/form region during a render."""
+    """Accumulates one key-value/form region (= one graph item) during a
+    render, grouping values under keys by cell identity."""
 
     def __init__(self) -> None:
         self.kind: Optional[str] = None  # 'kv' | 'form_field'
-        self.pairs: List[Tuple[str, List[str]]] = []
+        self.item: Optional[str] = None  # item ref prefix ('#/<arr>/<i>')
+        # first-seen-ordered: identity -> [key_text, [values]]
+        self._groups: dict = {}
+        self._last_identity = None
 
-    def feed(self, kind: str, text: str) -> bool:
-        """Consume a kv-family span; returns False if `kind` opens a NEW
-        region (different family) and the current one must flush first."""
+    def items(self) -> List[Tuple[str, List[str]]]:
+        return [(k, vals) for k, vals in self._groups.values()]
+
+    @property
+    def pairs(self):  # truthiness hook for the flush guards
+        return self._groups
+
+    def _identity(self, kind: str, text: str, ref: Optional[str]):
+        if ref and "/c" in ref:
+            return ref  # item prefix + key cell id: true reference identity
+        return ("txt", text)  # identity-less fallback: group by key text
+
+    def feed(self, kind: str, text: str, ref: Optional[str] = None) -> bool:
+        """Consume a kv-family span; returns False if the span opens a NEW
+        region (different family OR different graph item) and the current
+        one must flush first."""
+        fam = kind if kind in _KV_KEY_KINDS else _KV_VALUE_OF[kind]
+        item = _kv_item_prefix(ref)
+        if self.kind is not None and (self.kind != fam or self.item != item):
+            return False
+        self.kind, self.item = fam, item
         if kind in _KV_KEY_KINDS:
-            if self.kind is not None and self.kind != kind:
-                return False
-            self.kind = kind
-            # consecutive same-key pairs merge into one multi-value entry
-            if not (self.pairs and self.pairs[-1][0] == text):
-                self.pairs.append((text, []))
-        else:  # value span
-            fam = _KV_VALUE_OF[kind]
-            if self.kind is not None and self.kind != fam:
-                return False
-            self.kind = fam
-            if not self.pairs:
-                self.pairs.append(("", []))
-            self.pairs[-1][1].append(text)
+            ident = self._identity(kind, text, ref)
+            g = self._groups.setdefault(ident, [text, []])
+            g[0] = g[0] or text  # key may backfill a value-opened group
+            self._last_identity = ident
+        else:  # value span: attach by identity, else to the last key seen
+            ident = (
+                ref if (ref and "/c" in ref) else self._last_identity
+            )
+            if ident is None or ident not in self._groups:
+                ident = ident if ident is not None else ("txt", "")
+                self._groups.setdefault(ident, ["", []])
+                self._last_identity = ident
+            self._groups[ident][1].append(text)
         return True
 
 
@@ -185,7 +217,7 @@ def render_markdown(spans: List[Span]) -> str:
         # -->', markdown.py:553-573 — we render the content instead)
         nonlocal kv
         if kv.pairs:
-            for k, vals in kv.pairs:
+            for k, vals in kv.items():
                 out.append(f"**{k}**: {', '.join(vals)}")
             out.append("")
         kv = _KvRegion()
@@ -207,9 +239,9 @@ def render_markdown(spans: List[Span]) -> str:
         if kind in _KV_KEY_KINDS or kind in _KV_VALUE_OF:
             flush_para()
             flush_table()
-            if not kv.feed(kind, text):
+            if not kv.feed(kind, text, ref):
                 flush_kv()
-                kv.feed(kind, text)
+                kv.feed(kind, text, ref)
             continue
         flush_kv()
         if kind == "table_cell":
@@ -364,7 +396,7 @@ def render_html(spans: List[Span]) -> str:
             cls = _KV_KEY_KINDS[kv.kind or "kv"]
             out.append(f'<div class="{cls}">')
             out.append(f'<dl class="{cls}">')
-            for k, vals in kv.pairs:
+            for k, vals in kv.items():
                 out.append(f"<dt>{_h.escape(k)}</dt>")
                 for v in vals:
                     out.append(f"<dd>{_h.escape(v)}</dd>")
@@ -397,9 +429,9 @@ def render_html(spans: List[Span]) -> str:
             flush_para()
             flush_list()
             flush_table()
-            if not kv.feed(kind, text):
+            if not kv.feed(kind, text, ref):
                 flush_kv()
-                kv.feed(kind, text)
+                kv.feed(kind, text, ref)
             continue
         flush_kv()
         if kind == "table_cell":
@@ -540,11 +572,26 @@ def render_latex(spans: List[Span]) -> str:
     table_idx: Optional[str] = None
     list_items: List[str] = []
     pending: List[str] = []
+    kv = _KvRegion()
 
     def flush_para() -> None:
         if pending:
             out.append(" ".join(pending))
             pending.clear()
+
+    def flush_kv() -> None:
+        # description list — LaTeX's native key-value construct (the
+        # reference LaTeX serializer has no kv branch; semantics follow the
+        # HTML sink's grouped <dl> rendering, html.py:585-598)
+        nonlocal kv
+        if kv.pairs:
+            items = "\n".join(
+                f"\\item[{_latex_escape(k)}] "
+                + ", ".join(_latex_escape(v) for v in vals)
+                for k, vals in kv.items()
+            )
+            out.append("\\begin{description}\n" + items + "\n\\end{description}")
+        kv = _KvRegion()
 
     def flush_list() -> None:
         nonlocal list_items
@@ -571,6 +618,15 @@ def render_latex(spans: List[Span]) -> str:
         table_idx = None
 
     for kind, text, ref, fmt in _with_fmt(spans):
+        if kind in _KV_KEY_KINDS or kind in _KV_VALUE_OF:
+            flush_para()
+            flush_list()
+            flush_table()
+            if not kv.feed(kind, text, ref):
+                flush_kv()
+                kv.feed(kind, text, ref)
+            continue
+        flush_kv()
         if kind == "table_cell":
             flush_para()
             flush_list()
@@ -621,6 +677,7 @@ def render_latex(spans: List[Span]) -> str:
     flush_table()
     flush_list()
     flush_para()
+    flush_kv()
     return "\n\n".join(out) + ("\n" if out else "")
 
 

@@ -567,8 +567,12 @@ def remove_duplicate_substrings(docs: DataFrame, window: int = 10,
     joined = toks.join(starts, id_col, "left").withColumn(
         "_ss", F.coalesce(F.col("_ss"), F.expr("CAST(array() AS array<int>)"))
     )
+    # Same descending-sequence guard as ngrams_from_tokens_spark
+    # (portable.py): sequence(1, 0) yields [1, 0] and element_at(_tk, 0)
+    # throws, so clamp the index range through slice() for empty token
+    # arrays (reachable if a future tokenizer drops blank tokens).
     kept = (
-        f"filter(sequence(1, size(_tk)), t -> "
+        f"filter(slice(sequence(1, greatest(size(_tk), 1)), 1, size(_tk)), t -> "
         f"NOT exists(_ss, s -> s <= t AND t < s + {window}))"
     )
     return joined.select(

@@ -223,10 +223,17 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
         """Flatten one graph item's to_value links into (key, value) span
         pairs — each link whose source AND target cells resolve yields a
         `key_kind` span (the key cell text) followed by a `val_kind` span
-        (the value cell text), both carrying the item ref. Link order is
-        preserved (= the reference serializer's first-seen key order,
-        html.py:585-598); to_child hierarchy links are structural only.
-        Dangling links are dropped per-item, not fatal (ANSI-safe)."""
+        (the value cell text), both carrying the item ref SUFFIXED with the
+        key cell id ('#/<arr>/<i>/c<key_cell_id>'): the sinks group all
+        values under their key cell by that identity in first-seen order,
+        exactly the reference serializer's value_links grouping
+        (html.py:556-598), even for interleaved links, and two distinct key
+        cells with identical text stay separate. Limitation: to_child
+        hierarchy links are dropped (the reference renders a nested <ul>
+        cell tree when roots exist, html.py:572-584); a flat span stream
+        cannot carry the tree, so graph items always render as the
+        reference's no-hierarchy <dl> fallback. Dangling links are dropped
+        per-item, not fatal (ANSI-safe)."""
         g = f"try_element_at(d.{arr}, {idx} + 1).graph"
         by_id = "element_at(filter({g}.cells, cl -> cl.cell_id = l.{side}_cell_id), 1)"
         src = by_id.format(g=g, side="source")
@@ -238,9 +245,11 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
                   AND exists({g}.cells, cl -> cl.cell_id = l.target_cell_id)),
                 l -> array(
                   struct('{key_kind}' AS kind, {src}.text AS text,
-                         concat('#/{arr}/', {idx}) AS media_ref),
+                         concat('#/{arr}/', {idx}, '/c', l.source_cell_id)
+                           AS media_ref),
                   struct('{val_kind}' AS kind, {tgt}.text AS text,
-                         concat('#/{arr}/', {idx}) AS media_ref)))), array())"""
+                         concat('#/{arr}/', {idx}, '/c', l.source_cell_id)
+                           AS media_ref)))), array())"""
 
     ordered_spans = F.expr(
         f"""

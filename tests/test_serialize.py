@@ -362,3 +362,61 @@ def test_render_kv_and_form_regions():
         "<dt>Podpis</dt>\n<dd>áno</dd>\n</dl>\n</div>" in h
     )
     assert h.index("<p>intro</p>") < h.index("key-value-region") < h.index("<p>záver</p>")
+
+
+def test_render_kv_interleaved_links_group_by_key_cell():
+    # The reference groups ALL values per key CELL in first-seen order
+    # (value_links dict keyed on source_cell_id, html.py:556-598): k1→v1,
+    # k2→v2, k1→v3 renders ONE <dt>k1</dt> with v1+v3 grouped, and two
+    # distinct key cells with identical text stay separate <dt> entries.
+    # The reader threads the identity through '/c<cell_id>' ref suffixes.
+    from docling_spark.operators.serialize import (
+        render_html,
+        render_latex,
+        render_markdown,
+    )
+
+    r = "#/key_value_items/0"
+    spans = [
+        ("kv", "Meno", f"{r}/c0"),
+        ("kv_value", "Ján", f"{r}/c0"),
+        ("kv", "Stav", f"{r}/c2"),
+        ("kv_value", "platný", f"{r}/c2"),
+        ("kv", "Meno", f"{r}/c0"),          # same key cell, interleaved
+        ("kv_value", "Novák", f"{r}/c0"),
+        ("kv", "Meno", f"{r}/c4"),          # DIFFERENT cell, same text
+        ("kv_value", "iný", f"{r}/c4"),
+    ]
+    h = render_html(spans)
+    assert (
+        "<dt>Meno</dt>\n<dd>Ján</dd>\n<dd>Novák</dd>\n"
+        "<dt>Stav</dt>\n<dd>platný</dd>\n"
+        "<dt>Meno</dt>\n<dd>iný</dd>" in h
+    )
+    md = render_markdown(spans)
+    assert "**Meno**: Ján, Novák\n**Stav**: platný\n**Meno**: iný\n" in md
+    # latex sink now renders kv regions as a description list (was: generic
+    # paragraph fallthrough)
+    lx = render_latex(spans)
+    assert (
+        "\\begin{description}\n"
+        "\\item[Meno] Ján, Novák\n"
+        "\\item[Stav] platný\n"
+        "\\item[Meno] iný\n"
+        "\\end{description}" in lx
+    )
+
+
+def test_render_kv_region_splits_on_item_boundary():
+    # adjacent graph ITEMS are separate regions (one <div> per item in the
+    # reference, html.py:654-726) even when the same family runs on
+    from docling_spark.operators.serialize import render_html
+
+    spans = [
+        ("kv", "A", "#/key_value_items/0/c0"),
+        ("kv_value", "1", "#/key_value_items/0/c0"),
+        ("kv", "B", "#/key_value_items/1/c0"),
+        ("kv_value", "2", "#/key_value_items/1/c0"),
+    ]
+    h = render_html(spans)
+    assert h.count('<div class="key-value-region">') == 2

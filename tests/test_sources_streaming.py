@@ -357,17 +357,19 @@ def test_read_docling_json_kv_and_form_items(spark):
     df = spark.createDataFrame([("d1", payload)], "doc_id string, payload string")
     out = read_docling_json(df).collect()[0]
     spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["spans"]]
+    # refs carry the key cell id ('#/<arr>/<i>/c<key_cell_id>') so the sinks
+    # can reproduce the reference's value_links-by-cell grouping
     kvref = "#/key_value_items/0"
     assert spans == [
         ("text", "intro", None, 0),
-        ("kv", "Meno", kvref, 1),
-        ("kv_value", "Ján", kvref, 2),
-        ("kv", "Adresa", kvref, 3),
-        ("kv_value", "Bratislava", kvref, 4),
-        ("kv", "Adresa", kvref, 5),
-        ("kv_value", "Slovensko", kvref, 6),
-        ("form_field", "Podpis", "#/form_items/0", 7),
-        ("form_value", "áno", "#/form_items/0", 8),
+        ("kv", "Meno", f"{kvref}/c0", 1),
+        ("kv_value", "Ján", f"{kvref}/c0", 2),
+        ("kv", "Adresa", f"{kvref}/c2", 3),
+        ("kv_value", "Bratislava", f"{kvref}/c2", 4),
+        ("kv", "Adresa", f"{kvref}/c2", 5),
+        ("kv_value", "Slovensko", f"{kvref}/c2", 6),
+        ("form_field", "Podpis", "#/form_items/0/c0", 7),
+        ("form_value", "áno", "#/form_items/0/c0", 8),
     ]
 
 
