@@ -162,6 +162,68 @@ def _normalized_path(sf_dir: str) -> str:
     return path
 
 
+def _formatted_path(sf_dir: str) -> str:
+    """Deterministic FORMATTED span corpus (extract_html_formatted's
+    output: doc_id, spans, index-aligned fmt flags) as a parquet file the
+    formatted-sink oracles can read — built Spark-free via the same
+    per-document flattening the mapInPandas stage runs, so the DuckDB
+    render verifies the distributed execution end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_spark.operators.html_extract import extract_html_spans
+    from docling_spark.pipeline import _as_tuples
+
+    corpus = _corpus_path(sf_dir)
+    base = os.path.basename(corpus).replace("corpus", "fmtnorm").rsplit(".", 1)[0]
+    path = f"/tmp/docling_spark_{base}_{_engine_version()}.parquet"
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(corpus)
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    doc_ids, spans_col, fmt_col = [], [], []
+    for row in sorted(tbl.to_pylist(), key=lambda r: r["doc_id"]):
+        ordered = sorted(row["spans"], key=lambda s: s["offset"])
+        flat = []
+        for kind, text, ref in _as_tuples(ordered):
+            if kind == "html_bytes":
+                flat.extend(extract_html_spans(text, with_formatting=True))
+            else:
+                flat.append((kind, text, ref, ""))
+        for _k, t, _r, _f in flat:
+            # precondition for the SQL short-form underscore escape (the
+            # oracle uses replace(text,'_','\_'); exact only when no
+            # backslashes / markdown image patterns appear) — fail loudly
+            # if the corpus grammar ever grows them
+            assert "\\" not in t and "![" not in t, t
+        doc_ids.append(row["doc_id"])
+        spans_col.append(
+            [
+                {"kind": k, "text": t, "media_ref": r, "offset": i}
+                for i, (k, t, r, _f) in enumerate(flat)
+            ]
+        )
+        fmt_col.append([f for (_k, _t, _r, f) in flat])
+    out = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()),
+         "spans": pa.array(spans_col, span_type),
+         "fmt": pa.array(fmt_col, pa.list_(pa.string()))}
+    )
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -954,27 +1016,60 @@ def q_multimodal_neardup(spark, sf_dir):
     return img.unionByName(au).unionByName(vid)
 
 
+def _formatted_fuzz_docs():
+    """16 deterministic HTML docs exercising the inline-formatting channel
+    the synth corpus grammar doesn't (its HTML carries no <b>/<i>/<u>/<s>
+    tags, so corpus fmt flags are only ''/'c'): bold/italic/underline-noop/
+    strikethrough wrapping, anchor hyperlinks, and the markdown escapes
+    (underscore + html.escape). The oracle encodes their expected markdown
+    bytes directly in SQL (golden-style, parameterized by i)."""
+    docs = []
+    for i in range(16):
+        html = (
+            f"<html><head><title>Vzor {i}</title></head><body>"
+            f'<div class="text">Úvod <b>tučné {i}</b> a <i>kurzíva</i> '
+            f"a <u>podčiarknuté</u> a <s>staré</s> koniec.</div>"
+            f'<div class="nadpis">Oddiel {i}</div>'
+            f'<div class="text">Pozri <a href="#p{i}">odkaz {i}</a> '
+            f"ďalej x_{i} &amp; y&lt;z.</div>"
+            f"</body></html>"
+        )
+        docs.append((f"fmtdoc-{i:03d}", html))
+    return docs
+
+
 def q_formatted_markdown(spark, sf_dir):
-    """Formatting-aware RAG export: the corpus's HTML documents through
+    """Formatting-aware RAG export: the corpus's documents (plus 16
+    deterministic formatted fuzz docs — `_formatted_fuzz_docs`) through
     extract_html_formatted (inline <b>/<i>/<u>/<del>/<a> → fmt flags) into
-    the formatting-aware markdown sink. Rows-only check (the formatted
-    renderer's byte-level behavior is pinned by committed goldens and the
-    400-case fuzz parity vs the reference's own escapers —
-    tests/test_formatting.py)."""
+    the formatting-aware markdown sink. Full oracle: the corpus side
+    renders in DuckDB SQL over the Spark-free formatted parquet
+    (`_formatted_path`), the fuzz side is golden-encoded in SQL; byte-level
+    escaper behavior additionally fuzz-pinned vs the reference's own
+    escapers (tests/test_formatting.py)."""
     from docling_spark.operators.serialize import markdown_sink
     from docling_spark.pipeline import extract_html_formatted
 
     _ensure_workers(spark)
     docs = spark.read.parquet(_corpus_path(sf_dir))
-    return markdown_sink(extract_html_formatted(docs))
+    inline = spark.createDataFrame(
+        [(d, [("html_bytes", h, None, 0)]) for d, h in _formatted_fuzz_docs()],
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+    return markdown_sink(extract_html_formatted(docs.unionByName(inline)))
 
 
 def q_kv_form_sinks(spark, sf_dir):
     """Key-value / form items end-to-end: docling-JSON payloads with
     GraphData items → reader deref (kv/kv_value, form_field/form_value
-    spans) → HTML sink (<dl> regions). Deterministic inline payloads (the
-    sf corpus carries no docling-JSON KV docs); rows-only check — the
-    reader and renderers are pinned by pytest + the kv-001 golden."""
+    spans with key-cell identity refs) → HTML sink (<dl> regions grouped
+    by key cell, html.py:556-598). Deterministic inline payloads (the sf
+    corpus carries no docling-JSON KV docs) exercising interleaved links
+    back to an earlier key (c0→c1, c2→c3, c0→c4: values group under one
+    <dt>) and two distinct key cells with identical text (c2/c5 'Stav':
+    stay separate). Full oracle: expected HTML bytes golden-encoded in
+    SQL, parameterized by i."""
     import json as _json
 
     from docling_spark.operators.serialize import html_sink
@@ -999,10 +1094,15 @@ def q_kv_form_sinks(spark, sf_dir):
                     {"cell_id": 1, "label": "value", "text": str(100 + i)},
                     {"cell_id": 2, "label": "key", "text": "Stav"},
                     {"cell_id": 3, "label": "value", "text": "platný" if i % 2 else "zrušený"},
+                    {"cell_id": 4, "label": "value", "text": str(1000 + i)},
+                    {"cell_id": 5, "label": "key", "text": "Stav"},
+                    {"cell_id": 6, "label": "value", "text": "archív"},
                 ],
                 "links": [
                     {"label": "to_value", "source_cell_id": 0, "target_cell_id": 1},
                     {"label": "to_value", "source_cell_id": 2, "target_cell_id": 3},
+                    {"label": "to_value", "source_cell_id": 0, "target_cell_id": 4},
+                    {"label": "to_value", "source_cell_id": 5, "target_cell_id": 6},
                 ]}}],
             "form_items": [{"self_ref": "#/form_items/0", "graph": {
                 "cells": [
@@ -2349,6 +2449,182 @@ def _duck_markdown_sink_sql() -> str:
     """
 
 
+def _duck_formatted_markdown_sql() -> str:
+    """S7e oracle: the formatting-aware render_markdown reproduced in SQL
+    over the Spark-free formatted parquet (`_formatted_path`) — per-span
+    post-process (underscore escape + html.escape, **B** *I* ~~S~~
+    wrappers, [text](ref) hyperlink outermost; U a markdown no-op,
+    serialize.py:65-79 mirroring reference markdown.py:745-792 +
+    common.py:509-537), continuation ('c') fragments joined into flowing
+    paragraphs with single spaces (markdown.py:673), per-kind blocks and
+    pipe tables as in `_duck_markdown_sink_sql` — plus the golden-encoded
+    expected bytes for the 16 deterministic fuzz docs
+    (`_formatted_fuzz_docs`). The short-form underscore escape
+    (replace '_'→'\\_') is exact because the builder asserts the corpus
+    carries no backslashes or markdown image patterns."""
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _formatted_path(sf_dir)
+    return f"""
+        WITH raw AS (SELECT doc_id, fmt, unnest(spans) AS s
+                     FROM read_parquet('{path}')),
+        e AS (SELECT doc_id, s.kind AS kind, s.text AS text,
+                     s.media_ref AS ref, s."offset" AS o,
+                     coalesce(fmt[s."offset" + 1], '') AS f
+              FROM raw),
+        t AS (
+          SELECT *,
+                 CASE WHEN kind = 'table_cell' THEN 'c'
+                      WHEN kind = 'list_item' THEN 'l'
+                      WHEN kind IN ('title','part','section_header','paragraph',
+                                    'annex','paragraph_title','odsek','pismeno',
+                                    'subitem','footnote','media','caption')
+                           THEN 'x'
+                      ELSE 'p' END AS cat,
+                 CASE WHEN kind = 'table_cell'
+                      THEN split_part(coalesce(ref, ''), '/r', 1) END AS tid,
+                 CASE WHEN kind = 'table_cell' THEN
+                   CASE WHEN contains(regexp_extract(coalesce(ref,''),
+                                      '/r([0-9]+c[0-9]+)$', 1), 'c')
+                        THEN CAST(regexp_extract(coalesce(ref,''),
+                                  '/r([0-9]+)c', 1) AS BIGINT)
+                        ELSE 0 END
+                 END AS r
+          FROM e),
+        t2 AS (
+          SELECT *, lag(cat, 1, '') OVER w AS prev_cat,
+                 lag(tid) OVER w AS prev_tid
+          FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY o)
+        ),
+        b AS (
+          SELECT *,
+                 sum(CASE WHEN cat = 'x' THEN 1
+                          WHEN cat = 'p' THEN
+                            CASE WHEN prev_cat = 'p' AND contains(f, 'c')
+                                 THEN 0 ELSE 1 END
+                          WHEN cat <> prev_cat THEN 1
+                          WHEN cat = 'c' AND prev_tid IS DISTINCT FROM tid THEN 1
+                          ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY o) AS block_id
+          FROM t2
+        ),
+        d AS (
+          SELECT *,
+                 replace(replace(replace(replace(coalesce(text, ''),
+                     '_', '\\_'), '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   AS e0,
+                 CASE WHEN contains(f, 'B') THEN '**' || e0 || '**'
+                      ELSE e0 END AS e1,
+                 CASE WHEN contains(f, 'I') THEN '*' || e1 || '*'
+                      ELSE e1 END AS e2,
+                 CASE WHEN contains(f, 'S') THEN '~~' || e2 || '~~'
+                      ELSE e2 END AS e3,
+                 CASE WHEN ref IS NOT NULL AND ref <> ''
+                           AND kind <> 'table_cell'
+                      THEN '[' || e3 || '](' || ref || ')' ELSE e3 END AS disp
+          FROM b
+        ),
+        para AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 string_agg(disp, ' ' ORDER BY o) || chr(10) AS block
+          FROM d WHERE cat = 'p' GROUP BY doc_id, block_id
+        ),
+        xblock AS (
+          SELECT doc_id, block_id, o AS bo,
+                 CASE
+                   WHEN kind IN ('title','part') THEN '# ' || disp || chr(10)
+                   WHEN kind IN ('section_header','paragraph','annex')
+                        THEN '## ' || disp || chr(10)
+                   WHEN kind = 'paragraph_title'
+                        THEN '### ' || disp || chr(10)
+                   WHEN kind IN ('odsek','pismeno','subitem','footnote')
+                        THEN '**' || disp || '**'
+                   WHEN kind = 'media'
+                        THEN '![' || coalesce(text, '') || '](' ||
+                             coalesce(ref, '') || ')' || chr(10)
+                   WHEN kind = 'caption' THEN '*' || disp || '*' || chr(10)
+                 END AS block
+          FROM d WHERE cat = 'x'
+        ),
+        listblock AS (
+          SELECT doc_id, block_id, min(o) AS bo,
+                 string_agg('- ' || disp, chr(10) ORDER BY o) AS block
+          FROM d WHERE cat = 'l' GROUP BY doc_id, block_id
+        ),
+        cellrows AS (
+          SELECT doc_id, block_id, r,
+                 string_agg(e3, ' | ' ORDER BY o) AS rowtxt,
+                 count(*) AS ncells
+          FROM d WHERE cat = 'c' GROUP BY 1, 2, 3
+        ),
+        celldims AS (
+          SELECT doc_id, block_id, max(r) AS maxr, min(o) AS bo
+          FROM d WHERE cat = 'c' GROUP BY 1, 2
+        ),
+        lattice AS (
+          SELECT d2.doc_id, d2.block_id, t.i AS r
+          FROM celldims d2, unnest(range(0, d2.maxr + 1)) t(i)
+        ),
+        alllines AS (
+          SELECT l.doc_id, l.block_id, l.r,
+                 '| ' || coalesce(cr.rowtxt, '') || ' |' AS line
+          FROM lattice l
+          LEFT JOIN cellrows cr ON cr.doc_id = l.doc_id
+                AND cr.block_id = l.block_id AND cr.r = l.r
+        ),
+        hdr AS (
+          SELECT d2.doc_id, d2.block_id,
+                 '| ' || array_to_string(list_transform(
+                     range(1, CAST(coalesce(cr.ncells, 0) AS BIGINT) + 1),
+                     x -> '---'), ' | ') || ' |' AS sepline
+          FROM celldims d2
+          LEFT JOIN cellrows cr ON cr.doc_id = d2.doc_id
+                AND cr.block_id = d2.block_id AND cr.r = 0
+        ),
+        cellblock AS (
+          SELECT a.doc_id, a.block_id, d2.bo,
+                 string_agg(a.line, chr(10) ORDER BY a.r) AS body
+          FROM alllines a JOIN celldims d2 USING (doc_id, block_id)
+          GROUP BY a.doc_id, a.block_id, d2.bo
+        ),
+        cellfinal AS (
+          SELECT cb.doc_id, cb.block_id, cb.bo,
+                 split_part(cb.body, chr(10), 1) || chr(10)
+                 || coalesce(h.sepline, '|  |')
+                 || CASE WHEN position(chr(10) IN cb.body) > 0
+                         THEN chr(10) || substr(cb.body,
+                                  position(chr(10) IN cb.body) + 1)
+                         ELSE '' END || chr(10) AS block
+          FROM cellblock cb JOIN hdr h USING (doc_id, block_id)
+        ),
+        blocks AS (
+          SELECT doc_id, bo, block FROM para
+          UNION ALL SELECT doc_id, bo, block FROM xblock
+          UNION ALL SELECT doc_id, bo, block FROM listblock
+          UNION ALL SELECT doc_id, bo, block FROM cellfinal
+        ),
+        rendered AS (
+          SELECT doc_id, string_agg(block, chr(10) ORDER BY bo) AS md0
+          FROM blocks GROUP BY doc_id
+        ),
+        alldocs AS (SELECT doc_id FROM read_parquet('{path}'))
+        SELECT a.doc_id,
+               coalesce(regexp_replace(regexp_replace(r2.md0, '^\\s+', ''),
+                        '\\s+$', ''), '') || chr(10) AS markdown
+        FROM alldocs a LEFT JOIN rendered r2 USING (doc_id)
+        UNION ALL
+        SELECT 'fmtdoc-' || lpad(CAST(t.i AS VARCHAR), 3, '0') AS doc_id,
+               '# Vzor ' || t.i || chr(10) || chr(10)
+               || 'Úvod **tučné ' || t.i
+               || '** a *kurzíva* a podčiarknuté a ~~staré~~ koniec.'
+               || chr(10) || chr(10)
+               || '## Oddiel ' || t.i || chr(10) || chr(10)
+               || 'Pozri [odkaz ' || t.i || '](#p' || t.i
+               || ') ďalej x\\_' || t.i || ' &amp; y&lt;z.' || chr(10)
+                 AS markdown
+        FROM range(16) t(i)
+    """
+
+
 def _duck_html_sink_sql() -> str:
     """S7b oracle: render_html reproduced in SQL (escaped text, th/td rows,
     ul runs, figure/img)."""
@@ -3210,6 +3486,32 @@ def oracle_sql() -> dict[str, str]:
         "annex_integration": _duck_annex_integration_sql(),
         "law_chunks": _duck_law_chunks_sql(),
         "markdown_sink": _duck_markdown_sink_sql(),
+        "formatted_markdown": _duck_formatted_markdown_sql(),
+        # S7f oracle: expected <dl>-region HTML golden-encoded in SQL from
+        # the same generation rule as q_kv_form_sinks' payloads (number
+        # 100+i / 1000+i, parity-picked status, interleaved c0 values
+        # grouped under one <dt>, duplicate-text key cells kept separate)
+        "kv_form_sinks": """
+            SELECT 'kvdoc-' || lpad(CAST(t.i AS VARCHAR), 3, '0') AS doc_id,
+                   '<h1>Formulár ' || t.i || '</h1>' || chr(10)
+                   || '<div class="key-value-region">' || chr(10)
+                   || '<dl class="key-value-region">' || chr(10)
+                   || '<dt>Číslo</dt>' || chr(10)
+                   || '<dd>' || (100 + t.i) || '</dd>' || chr(10)
+                   || '<dd>' || (1000 + t.i) || '</dd>' || chr(10)
+                   || '<dt>Stav</dt>' || chr(10)
+                   || '<dd>' || CASE WHEN t.i % 2 = 1 THEN 'platný'
+                                     ELSE 'zrušený' END || '</dd>' || chr(10)
+                   || '<dt>Stav</dt>' || chr(10)
+                   || '<dd>archív</dd>' || chr(10)
+                   || '</dl>' || chr(10) || '</div>' || chr(10)
+                   || '<div class="form-container">' || chr(10)
+                   || '<dl class="form-container">' || chr(10)
+                   || '<dt>Podpis</dt>' || chr(10)
+                   || '<dd>v. r.</dd>' || chr(10)
+                   || '</dl>' || chr(10) || '</div>' || chr(10) AS html
+            FROM range(8) t(i)
+        """,
         "html_sink": _duck_html_sink_sql(),
         "doctags_sink": _duck_doctags_sink_sql(),
         "doctags_roundtrip": _duck_doctags_roundtrip_sql(),
