@@ -50,6 +50,8 @@ from docling_spark.ops.textstats import (
 )
 
 _SF_DEFAULT = "/root/testdata/sf0.001"
+# committed expected-output fixtures (tools/gen_multimodal_fixtures.py)
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 _SHIPPED: set = set()
 
 
@@ -974,29 +976,14 @@ def q_multimodal_neardup(spark, sf_dir):
     per found pair with its modality. Rows-only (binary decode is not
     SQL-expressible); the per-operator exactness is pinned by pytest
     (known-pixel dhash values, identical-clip fingerprint equality)."""
-    import numpy as np
-
     from docling_spark.ops.multimodal import (
-        _encode_netpbm, image_neardup_pairs, media_shared_fingerprint_pairs,
-        audio_fingerprints, synth_wav, synth_y4m, video_frame_hashes)
+        image_neardup_pairs, media_shared_fingerprint_pairs,
+        audio_fingerprints, neardup_demo_media_rows, video_frame_hashes)
 
     _ensure_workers(spark)
-    rng = np.random.RandomState(29)
-    rows = []
-    for i in range(6):  # images + noisy twins
-        base = rng.randint(0, 256, size=(32, 32, 1), dtype=np.int32).astype(np.uint8)
-        noisy = (base.astype(np.int32) + rng.randint(-5, 6, size=base.shape)).clip(0, 255).astype(np.uint8)
-        rows.append((f"img-{i}a", bytearray(_encode_netpbm(base))))
-        rows.append((f"img-{i}b", bytearray(_encode_netpbm(noisy))))
-    wavs = [synth_wav(np.random.RandomState(40 + i)) for i in range(3)]
-    for i, wv in enumerate(wavs):
-        rows.append((f"au-{i}a", bytearray(wv)))
-        rows.append((f"au-{i}b", bytearray(wv)))          # exact twin clip
-    clips = [synth_y4m(np.random.RandomState(50 + i), n_frames=15) for i in range(2)]
-    for i, cl in enumerate(clips):
-        rows.append((f"vid-{i}a", bytearray(cl)))
-        rows.append((f"vid-{i}b", bytearray(cl)))
-    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    media = spark.createDataFrame(
+        neardup_demo_media_rows(), "media_id string, payload binary"
+    )
     img = image_neardup_pairs(media, max_hamming=10).select(
         F.lit("image").alias("modality"), "id_a", "id_b",
         F.col("hamming").cast("long").alias("score"),
@@ -3487,6 +3474,21 @@ def oracle_sql() -> dict[str, str]:
         "law_chunks": _duck_law_chunks_sql(),
         "markdown_sink": _duck_markdown_sink_sql(),
         "formatted_markdown": _duck_formatted_markdown_sql(),
+        # multimodal oracles: committed expected-output fixtures built
+        # SINGLE-PROCESS by tools/gen_multimodal_fixtures.py — the feature
+        # trio re-derived row-by-row from the pure decode helpers, the
+        # near-dup pairs by brute-force ALL-PAIRS comparison (so the
+        # engine's pigeonhole/equi-join blocking is proven to miss no pair
+        # at this scale). Deterministic inputs (synth_media_rows /
+        # neardup_demo_media_rows); regenerate after semantic changes.
+        "multimodal_image_features":
+            f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_image_features.parquet')",
+        "multimodal_audio_features":
+            f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_audio_features.parquet')",
+        "multimodal_frame_sample":
+            f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_frame_sample.parquet')",
+        "multimodal_neardup":
+            f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_neardup.parquet')",
         # S7f oracle: expected <dl>-region HTML golden-encoded in SQL from
         # the same generation rule as q_kv_form_sinks' payloads (number
         # 100+i / 1000+i, parity-picked status, interleaved c0 values

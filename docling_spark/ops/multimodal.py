@@ -385,10 +385,12 @@ def synth_y4m(rng: np.random.RandomState, w: int = 16, h: int = 16,
     return b"".join(out)
 
 
-def synth_media_df(spark, n: int = 32, seed: int = 13) -> DataFrame:
-    """Deterministic media table mixing REAL payloads (P6/P5 netpbm images,
+def synth_media_rows(n: int = 32, seed: int = 13) -> List[tuple]:
+    """Deterministic media rows mixing REAL payloads (P6/P5 netpbm images,
     PCM WAV audio, y4m video — all decodable by the pure-Python paths) with
-    random-byte blobs that exercise the compressed-format stub fallback."""
+    random-byte blobs that exercise the compressed-format stub fallback.
+    Module-level (returns plain (media_id, media_type, bytearray) tuples)
+    so the fixture generator can build the same table Spark-free."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -410,7 +412,41 @@ def synth_media_df(spark, n: int = 32, seed: int = 13) -> DataFrame:
             payload = bytes(rng.randint(0, 256, size=size, dtype=np.int32).astype(np.uint8))
             mtype = ["image/png", "audio/mp3", "video/mp4"][i % 3]
         rows.append((f"media-{i:04d}", mtype, bytearray(payload)))
-    return spark.createDataFrame(rows, "media_id string, media_type string, payload binary")
+    return rows
+
+
+def synth_media_df(spark, n: int = 32, seed: int = 13) -> DataFrame:
+    """`synth_media_rows` as a Spark DataFrame."""
+    return spark.createDataFrame(
+        synth_media_rows(n, seed),
+        "media_id string, media_type string, payload binary",
+    )
+
+
+def neardup_demo_media_rows() -> List[tuple]:
+    """Deterministic planted duplicates for the multimodal near-dup demo:
+    6 netpbm images each with a ±5-intensity noisy twin, 3 WAV clips each
+    with an exact twin, 2 y4m clips each with an exact twin. Shared by
+    q_multimodal_neardup and the fixture generator (same input, the pair
+    computation stays independent)."""
+    rng = np.random.RandomState(29)
+    rows = []
+    for i in range(6):  # images + noisy twins
+        base = rng.randint(0, 256, size=(32, 32, 1), dtype=np.int32).astype(np.uint8)
+        noisy = (
+            base.astype(np.int32) + rng.randint(-5, 6, size=base.shape)
+        ).clip(0, 255).astype(np.uint8)
+        rows.append((f"img-{i}a", bytearray(_encode_netpbm(base))))
+        rows.append((f"img-{i}b", bytearray(_encode_netpbm(noisy))))
+    wavs = [synth_wav(np.random.RandomState(40 + i)) for i in range(3)]
+    for i, wv in enumerate(wavs):
+        rows.append((f"au-{i}a", bytearray(wv)))
+        rows.append((f"au-{i}b", bytearray(wv)))          # exact twin clip
+    clips = [synth_y4m(np.random.RandomState(50 + i), n_frames=15) for i in range(2)]
+    for i, cl in enumerate(clips):
+        rows.append((f"vid-{i}a", bytearray(cl)))
+        rows.append((f"vid-{i}b", bytearray(cl)))
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +530,40 @@ def image_neardup_pairs(df: DataFrame, max_hamming: int = 10,
     return hamming_pairs(sig, id_col, "dhash", bits=64, max_hamming=max_hamming)
 
 
+def subfingerprints(samples: np.ndarray, sr: int, frame: int = 1024,
+                    hop: int = 512, n_bands: int = 17,
+                    max_frames: int = 64) -> List[int]:
+    """Haitsma/Kalker band-energy-delta subfingerprints for one clip
+    (module-level so the fixture generator can run it Spark-free)."""
+    n = (len(samples) - frame) // hop + 1 if len(samples) >= frame else 0
+    n = min(n, max_frames + 1)
+    if n < 2:
+        return []
+    # log-spaced band edges over [300 Hz, min(sr/2, 6000)] per the paper
+    lo_hz, hi_hz = 300.0, min(sr / 2.0, 6000.0)
+    edges_hz = np.exp(np.linspace(np.log(lo_hz), np.log(hi_hz), n_bands + 1))
+    bin_hz = sr / frame
+    edges = np.clip((edges_hz / bin_hz).astype(np.int64), 1, frame // 2)
+    energies = np.empty((n, n_bands), dtype=np.float64)
+    win = np.hanning(frame)
+    for t in range(n):
+        seg = samples[t * hop:t * hop + frame] * win
+        mag = np.abs(np.fft.rfft(seg)) ** 2
+        for b in range(n_bands):
+            lo, hi = edges[b], max(edges[b] + 1, edges[b + 1])
+            energies[t, b] = mag[lo:hi].sum()
+    d = energies[:, :-1] - energies[:, 1:]          # (n, n_bands-1)
+    bits = (d[1:] - d[:-1]) > 0                     # (n-1, 16)
+    out = []
+    for t in range(bits.shape[0]):
+        v = 0
+        for b in range(bits.shape[1]):
+            if bits[t, b]:
+                v |= 1 << b
+        out.append(v)
+    return out
+
+
 def audio_fingerprints(df: DataFrame, frame: int = 1024, hop: int = 512,
                        n_bands: int = 17, max_frames: int = 64,
                        id_col: str = "media_id",
@@ -507,33 +577,7 @@ def audio_fingerprints(df: DataFrame, frame: int = 1024, hop: int = 512,
     (ops.dedup.shared_window_pairs shape: only 8-byte hashes shuffle)."""
 
     def clip_fps(samples: np.ndarray, sr: int):
-        n = (len(samples) - frame) // hop + 1 if len(samples) >= frame else 0
-        n = min(n, max_frames + 1)
-        if n < 2:
-            return []
-        # log-spaced band edges over [300 Hz, min(sr/2, 6000)] per the paper
-        lo_hz, hi_hz = 300.0, min(sr / 2.0, 6000.0)
-        edges_hz = np.exp(np.linspace(np.log(lo_hz), np.log(hi_hz), n_bands + 1))
-        bin_hz = sr / frame
-        edges = np.clip((edges_hz / bin_hz).astype(np.int64), 1, frame // 2)
-        energies = np.empty((n, n_bands), dtype=np.float64)
-        win = np.hanning(frame)
-        for t in range(n):
-            seg = samples[t * hop:t * hop + frame] * win
-            mag = np.abs(np.fft.rfft(seg)) ** 2
-            for b in range(n_bands):
-                lo, hi = edges[b], max(edges[b] + 1, edges[b + 1])
-                energies[t, b] = mag[lo:hi].sum()
-        d = energies[:, :-1] - energies[:, 1:]          # (n, n_bands-1)
-        bits = (d[1:] - d[:-1]) > 0                     # (n-1, 16)
-        out = []
-        for t in range(bits.shape[0]):
-            v = 0
-            for b in range(bits.shape[1]):
-                if bits[t, b]:
-                    v |= 1 << b
-            out.append(v)
-        return out
+        return subfingerprints(samples, sr, frame, hop, n_bands, max_frames)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
