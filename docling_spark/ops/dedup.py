@@ -262,30 +262,40 @@ def shared_window_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def dup_components(pairs: DataFrame, id_a: str = "id_a",
                    id_b: str = "id_b", max_iters: int = 50,
-                   algorithm: str = "label_prop",
-                   on_nonconverged: str = "raise") -> DataFrame:
+                   algorithm: str = "auto",
+                   on_nonconverged: str = "raise",
+                   switch_after: int = 8) -> DataFrame:
     """Connected components over a duplicate-pair edge list →
     (doc_id, component_id) where component_id = min doc_id in the group.
 
-    `algorithm="label_prop"` (default): iterative min-label propagation —
-    each node repeatedly adopts the smallest label among itself and its
+    `algorithm="auto"` (default): min-label propagation with a round
+    budget of `switch_after`; if no fixpoint by then — the diameter
+    pre-check, observed not guessed — fall back to the O(log n) star
+    contraction for the full `max_iters`. Near-dup graphs are unions of
+    small cliques that converge in 2-3 rounds, so the common case pays
+    zero overhead; a chain/mega-component costs `switch_after` wasted
+    rounds once, instead of raising after `max_iters` and making the
+    caller re-dispatch.
+
+    `algorithm="label_prop"`: iterative min-label propagation only — each
+    node repeatedly adopts the smallest label among itself and its
     neighbours until a fixpoint — the standard Spark CC loop (HashToMin
-    family; converges in O(diameter) rounds, and near-dup graphs are unions
-    of small cliques, so 2-3 rounds in practice). Per round: one grouped
-    min over the undirected edge list joined to current labels — all hash
-    shuffles on node id. localCheckpoint truncates the lineage so the
-    loop's plan doesn't grow per iteration.
+    family; O(diameter) rounds). Per round: one grouped min over the
+    undirected edge list joined to current labels — all hash shuffles on
+    node id. localCheckpoint truncates the lineage so the loop's plan
+    doesn't grow per iteration.
 
     `algorithm="star"`: the large-star/small-star contraction (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
     rounds on ANY graph shape, for mega-components / long chains where
     O(diameter) is too many rounds. Same join primitives.
 
-    Exhausting `max_iters` without a fixpoint would silently return
+    Exhausting the budget without a fixpoint would silently return
     over-split labels; `on_nonconverged` controls that: "raise" (default)
     or "warn" (log and return the partial labels)."""
     if algorithm == "star":
         return _dup_components_star(pairs, id_a, id_b, max_iters, on_nonconverged)
+    budget = min(switch_after, max_iters) if algorithm == "auto" else max_iters
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -300,7 +310,7 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for _ in range(budget):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -325,7 +335,13 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
         if changed == 0:
             break
     else:
-        _nonconverged(max_iters, on_nonconverged)
+        if algorithm == "auto":
+            # high-diameter graph detected (no fixpoint in `switch_after`
+            # rounds) — restart with the O(log n) contraction
+            return _dup_components_star(
+                pairs, id_a, id_b, max_iters, on_nonconverged
+            )
+        _nonconverged(budget, on_nonconverged)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
