@@ -1067,9 +1067,11 @@ def q_multimodal_neardup(spark, sf_dir):
     """Multimodal dedup end-to-end over deterministic planted duplicates:
     perceptual image dHash + pigeonhole hamming pairs, Haitsma/Kalker audio
     subfingerprint shared pairs, video shared-frame-hash pairs — one row
-    per found pair with its modality. Rows-only (binary decode is not
-    SQL-expressible); the per-operator exactness is pinned by pytest
-    (known-pixel dhash values, identical-clip fingerprint equality)."""
+    per found pair with its modality. Full oracle since round 4: the
+    expected pairs are a committed single-process brute-force fixture
+    (tools/gen_multimodal_fixtures.py); per-operator exactness is
+    additionally pinned by pytest (known-pixel dhash values,
+    identical-clip fingerprint equality)."""
     from docling_spark.ops.multimodal import (
         image_neardup_pairs, media_shared_fingerprint_pairs,
         audio_fingerprints, neardup_demo_media_rows, video_frame_hashes)
@@ -1415,21 +1417,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's CORRECTNESS harness
     checks the FIRST 50 entries in dict order (VERDICT r2, task #1).
 
-    The first 50 therefore carry every operator-unique query — serializer
-    matrix, chunk exports, extract_full/annex — while positions 51+ hold
-    (a) near-duplicate demos whose operator is already covered by a window
-    entry (e.g. `minhash_band_pairs` ⊂ `minhash_verified_pairs`,
-    `ann_ivf_topk`/`ann_ivf_kmeans_topk` ⊂ `ann_recall` which composes
-    both IVF variants with both PQ variants against the brute-force ground
-    truth, TPC-shape filler certified green in rounds 1–2) and (b) the
-    multimodal queries, full-oracled since round 4 via committed
-    brute-force fixtures. As of round 4 ALL 75 entries carry full
-    rows+schema+hash oracles; the local stand-in gate
+    The first 50 therefore carry every operator-unique query — including
+    every operator family NEW in round 4 (formatted/kv serializer
+    channels, doctags source roundtrip, substring removal,
+    decontamination, stratified sampling, curation e2e, multimodal
+    near-dup, ann_recall) — while positions 51+ hold ONLY entries whose
+    operator is subsumed by a window entry: `minhash_band_pairs` ⊂
+    `minhash_verified_pairs`, `ann_cosine_topk`/`ann_ivf_topk`/
+    `ann_ivf_kmeans_topk` ⊂ `ann_recall` (which composes all four ANN
+    paths against the brute-force ground truth), `markdown_sink` ⊂
+    `formatted_markdown` (same serializer, formatting channel on),
+    `doctags_sink` ⊂ `doctags_roundtrip` (render ∘ parse),
+    `curation_pipeline`/`shared_windows` ⊂ `curation_e2e`/
+    `substring_dedup`, `minhash_dup_groups` ⊂ `neardup_curation`
+    (CC over verified pairs), chunk_export_{md,json} ⊂ the rag variant,
+    multimodal per-modality features ⊂ `multimodal_neardup`, plus
+    TPC-shape filler certified green in rounds 1–2. As of round 4 ALL 75
+    entries carry full rows+schema+hash oracles (multimodal via committed
+    single-process brute-force fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
     """
     return {
         # -- window (first 50): one entry per operator family, all fully
-        #    oracled (49 green in CORRECTNESS_r03; ann_recall new in r4) ---
+        #    oracled ------------------------------------------------------
         "anti_join_audit": q_anti_join_audit,
         "asof_last_marker": q_asof_last_marker,
         "range_join_bands": q_range_join_bands,
@@ -1446,15 +1456,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "pii_scrub": q_pii_scrub,
-        "curation_pipeline": q_curation_pipeline,
+        "curation_e2e": q_curation_e2e,
         "neardup_curation": q_neardup_curation,
         "minhash_verified_pairs": q_minhash_verified_pairs,
-        "minhash_dup_groups": q_minhash_dup_groups,
+        "substring_dedup": q_substring_dedup,
         "repetition_stats": q_repetition_stats,
-        "shared_windows": q_shared_windows,
+        "decontamination": q_decontamination,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "stratified_sample": q_stratified_sample,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_recall": q_ann_recall,
         "embedding_neardup": q_embedding_neardup,
@@ -1468,20 +1478,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_set_ops": q_token_set_ops,
         "extract_normalized": q_extract_normalized,
         "extract_kind_histogram": q_extract_kind_histogram,
-        "markdown_sink": q_markdown_sink,
+        "formatted_markdown": q_formatted_markdown,
         "html_sink": q_html_sink,
         "extract_full": q_extract_full,
         "annex_integration": q_annex_integration,
         "law_chunks": q_law_chunks,
         "render_triplets": q_render_triplets,
         "chunk_export_rag": q_chunk_export_rag,
-        "chunk_export_md": q_chunk_export_md,
-        "chunk_export_json": q_chunk_export_json,
-        "doctags_sink": q_doctags_sink,
+        "kv_form_sinks": q_kv_form_sinks,
+        "multimodal_neardup": q_multimodal_neardup,
+        "doctags_roundtrip": q_doctags_roundtrip,
         "latex_sink": q_latex_sink,
         "hybrid_chunks": q_hybrid_chunks,
-        # -- tail (51+): redundant demos (operator certified by a window
-        #    entry or a prior round) + no-oracle multimodal rows-only ------
+        # -- tail (51+): every operator here is subsumed by a window entry
+        #    (see docstring); all still fully oracled and gate-checked -----
         "pricing_summary": q_pricing_summary,
         "topk_revenue": q_topk_revenue,
         "signup_funnel": q_signup_funnel,
@@ -1491,22 +1501,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_candidate_ratio": q_minhash_candidate_ratio,
+        "minhash_dup_groups": q_minhash_dup_groups,
         "simhash": q_simhash,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ivf_cells": q_ivf_cells,
         "multimodal_image_features": x_multimodal_image_features,
         "multimodal_audio_features": x_multimodal_audio_features,
         "multimodal_frame_sample": x_multimodal_frame_sample,
-        "formatted_markdown": q_formatted_markdown,
-        "kv_form_sinks": q_kv_form_sinks,
-        "decontamination": q_decontamination,
-        "stratified_sample": q_stratified_sample,
-        "substring_dedup": q_substring_dedup,
-        "curation_e2e": q_curation_e2e,
-        "multimodal_neardup": q_multimodal_neardup,
-        "doctags_roundtrip": q_doctags_roundtrip,
+        "markdown_sink": q_markdown_sink,
+        "doctags_sink": q_doctags_sink,
+        "chunk_export_md": q_chunk_export_md,
+        "chunk_export_json": q_chunk_export_json,
+        "curation_pipeline": q_curation_pipeline,
+        "shared_windows": q_shared_windows,
     }
 
 
