@@ -478,6 +478,12 @@ def render_html(spans: List[Span]) -> str:
         elif kind == "caption":
             flush_para()
             out.append(f"<figcaption>{disp}</figcaption>")
+        elif kind == "picture_annotation":
+            # picture annotation text (classification class / description /
+            # molecule SMILES — reader maps per common.py:136-151) rendered
+            # as a caption under the preceding figure
+            flush_para()
+            out.append(f'<figcaption class="annotation">{disp}</figcaption>')
         else:
             if "c" not in fmt:
                 flush_para()

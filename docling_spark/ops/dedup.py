@@ -166,13 +166,53 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     return hamming_pairs(sig, id_col, "simhash", bits, max_hamming, materialize)
 
 
+def simhash_block_stats(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", bits: int = 64,
+                        max_hamming: int = 3) -> DataFrame:
+    """One-row selectivity report for the pigeonhole block join — the
+    simhash counterpart of `minhash_candidate_stats`:
+    (n_docs, n_block_candidate_pairs, n_verified_pairs, possible_pairs,
+    block_candidates_per_doc_e3, block_collision_ratio_e9).
+
+    `n_block_candidate_pairs` counts distinct pairs agreeing on ≥1 block
+    BEFORE the bit_count verify — the population the verify join must scan.
+    Expected ≈ true-pairs + C(N,2)·(k+1)/2^(bits/(k+1)) random collisions;
+    candidates-per-doc is the scale invariant to watch (it stays flat when
+    the dup rate is constant and random collisions stay sub-dominant),
+    while the ratio vs all pairs falls ~1/N in a healthy corpus. A
+    candidates-per-doc figure that grows with N means the fingerprint is
+    too narrow for the corpus size — widen `bits` before scaling up."""
+    sig = simhash(docs, id_col, text_col, bits)
+    cand = hamming_pairs(sig, id_col, "simhash", bits, max_hamming,
+                         materialize=True, verify=False)
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_block_candidate_pairs"))
+    n_ver = (
+        cand.filter(F.col("hamming") <= max_hamming)
+        .agg(F.count("*").cast("long").alias("n_verified_pairs"))
+    )
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    possible = F.col("n_docs") * (F.col("n_docs") - 1) / 2
+    return n_docs.crossJoin(n_cand).crossJoin(n_ver).select(
+        "n_docs",
+        "n_block_candidate_pairs",
+        "n_verified_pairs",
+        possible.cast("long").alias("possible_pairs"),
+        F.floor(F.col("n_block_candidate_pairs") * 1_000 / F.col("n_docs"))
+        .cast("long").alias("block_candidates_per_doc_e3"),
+        F.floor(F.col("n_block_candidate_pairs") * 1_000_000_000 / possible)
+        .cast("long").alias("block_collision_ratio_e9"),
+    )
+
+
 def hamming_pairs(sig: DataFrame, id_col: str, value_col: str,
                   bits: int = 64, max_hamming: int = 3,
-                  materialize: bool = True) -> DataFrame:
+                  materialize: bool = True, verify: bool = True) -> DataFrame:
     """The pigeonhole hamming search over ANY (id, fingerprint) relation —
     shared by simhash text near-dup and perceptual image-hash near-dup
     (ops.multimodal.image_neardup_pairs). See simhash_neardup_pairs for the
-    construction and geometry math."""
+    construction and geometry math. `verify=False` returns every distinct
+    block-collision candidate with its exact hamming distance UNfiltered —
+    the pre-verify population `simhash_block_stats` monitors."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
     blocks = []
@@ -193,7 +233,7 @@ def hamming_pairs(sig: DataFrame, id_col: str, value_col: str,
         keyed = keyed.localCheckpoint()
     a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.expr(f"bit_count(a.{value_col} ^ b.{value_col})")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
@@ -205,9 +245,10 @@ def hamming_pairs(sig: DataFrame, id_col: str, value_col: str,
             F.col(f"b.{id_col}").alias("id_b"),
             ham.cast("long").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if verify:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out.distinct()
 
 
 def shared_window_pairs(docs: DataFrame, id_col: str = "doc_id",

@@ -107,6 +107,39 @@ DOCLING_JSON_SCHEMA = T.StructType(
                             "image",
                             T.StructType([T.StructField("uri", T.StringType())]),
                         ),
+                        # picture annotation model (document.py:107-151):
+                        # classification / description / molecule_data — the
+                        # union is read as one wide struct; absent fields
+                        # null out per annotation kind
+                        T.StructField(
+                            "annotations",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("kind", T.StringType()),
+                                        T.StructField("text", T.StringType()),
+                                        T.StructField("smi", T.StringType()),
+                                        T.StructField(
+                                            "predicted_classes",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "class_name",
+                                                            T.StringType(),
+                                                        ),
+                                                        T.StructField(
+                                                            "confidence",
+                                                            T.DoubleType(),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
                     ]
                 )
             ),
@@ -183,7 +216,15 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
     pointer array — document.py:2533-2564; RefItem `$ref` like '#/texts/4')
     spans follow that pointer order, interleaving texts, tables and
     pictures exactly as the reference's iterate_items DFS would. Payloads
-    without a body fall back to texts-then-tables order."""
+    without a body fall back to texts-then-tables order.
+
+    Picture annotations (document.py:107-151): each classification /
+    description / molecule_data annotation on a picture emits a
+    `picture_annotation` span right after the picture's `media` span,
+    with text per the reference's _get_annotation_text rules
+    (common.py:136-151 — first predicted class_name with '_'→' ',
+    description text, molecule SMILES) and media_ref '#/pictures/<i>';
+    unrecognized or empty annotations are dropped per-annotation."""
     parsed = df.select(
         F.col(id_col).alias("doc_id"),
         F.from_json(F.col(json_col), DOCLING_JSON_SCHEMA).alias("d"),
@@ -279,9 +320,27 @@ def read_docling_json(df: DataFrame, json_col: str = "payload",
             WHEN c.`$ref` LIKE '#/form_items/%' THEN
               {_graph_pairs('form_items', 'form_field', 'form_value')}
             ELSE
-              transform(slice(d.pictures, {idx} + 1, 1),
-                p -> struct('media' AS kind, '' AS text,
-                            p.image.uri AS media_ref))
+              coalesce(flatten(transform(slice(d.pictures, {idx} + 1, 1),
+                p -> concat(
+                  array(struct('media' AS kind, '' AS text,
+                               p.image.uri AS media_ref)),
+                  transform(
+                    filter(coalesce(p.annotations, array()), an ->
+                      CASE an.kind
+                        WHEN 'description' THEN an.text IS NOT NULL
+                        WHEN 'molecule_data' THEN an.smi IS NOT NULL
+                        WHEN 'classification' THEN
+                          size(coalesce(an.predicted_classes, array())) > 0
+                          AND an.predicted_classes[0].class_name IS NOT NULL
+                        ELSE false END),
+                    an -> struct('picture_annotation' AS kind,
+                      CASE an.kind
+                        WHEN 'description' THEN an.text
+                        WHEN 'molecule_data' THEN an.smi
+                        ELSE replace(an.predicted_classes[0].class_name,
+                                     '_', ' ') END AS text,
+                      concat('#/pictures/', {idx}) AS media_ref))))),
+                array())
           END))
         """
     )

@@ -300,6 +300,87 @@ def test_read_docling_json_tolerates_malformed_refs(spark):
     ]
 
 
+def test_read_docling_json_picture_annotations(spark):
+    # picture annotations (document.py:107-151) map to picture_annotation
+    # spans after the media span, text per _get_annotation_text
+    # (common.py:136-151): classification → first class_name '_'→' ',
+    # description → text, molecule_data → smi; empty/unknown dropped
+    import json
+
+    from docling_spark.sources.readers import read_docling_json
+
+    payload = json.dumps({
+        "name": "d",
+        "body": {"children": [
+            {"$ref": "#/pictures/0"},
+            {"$ref": "#/texts/0"},
+            {"$ref": "#/pictures/1"},
+        ]},
+        "texts": [
+            {"self_ref": "#/texts/0", "label": "text", "text": "between",
+             "hyperlink": None},
+        ],
+        "pictures": [
+            {"self_ref": "#/pictures/0", "image": {"uri": "img://p0.png"},
+             "annotations": [
+                 {"kind": "classification", "provenance": "model-a",
+                  "predicted_classes": [
+                      {"class_name": "bar_chart", "confidence": 0.9},
+                      {"class_name": "map", "confidence": 0.1}]},
+                 {"kind": "description", "provenance": "vlm",
+                  "text": "a chart of revenue"},
+                 {"kind": "misc", "content": {"x": 1}},       # unknown: drop
+             ]},
+            {"self_ref": "#/pictures/1", "image": {"uri": "img://p1.png"},
+             "annotations": [
+                 {"kind": "molecule_data", "smi": "C1=CC=CC=C1",
+                  "confidence": 0.8, "class_name": "mol",
+                  "provenance": "m"},
+                 {"kind": "classification", "provenance": "model-a",
+                  "predicted_classes": []},                   # empty: drop
+             ]},
+        ],
+    })
+    df = spark.createDataFrame([("d1", payload)], "doc_id string, payload string")
+    out = read_docling_json(df).collect()[0]
+    spans = [(s["kind"], s["text"], s["media_ref"]) for s in out["spans"]]
+    assert spans == [
+        ("media", "", "img://p0.png"),
+        ("picture_annotation", "bar chart", "#/pictures/0"),
+        ("picture_annotation", "a chart of revenue", "#/pictures/0"),
+        ("text", "between", None),
+        ("media", "", "img://p1.png"),
+        ("picture_annotation", "C1=CC=CC=C1", "#/pictures/1"),
+    ]
+    # offsets stay dense over the combined stream
+    assert [s["offset"] for s in out["spans"]] == list(range(6))
+
+
+def test_picture_annotation_sinks(spark):
+    # markdown: plain paragraph (reference MarkdownAnnotationSerializer with
+    # mark_annotations=False, markdown.py:326-366); html: figcaption under
+    # the figure
+    from docling_spark.operators.serialize import html_sink, markdown_sink
+
+    rows = [("d1", [
+        ("media", "", "img://p.png", 0),
+        ("picture_annotation", "bar chart", "#/pictures/0", 1),
+        ("caption", "Figure 1", None, 2),
+    ])]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>",
+    )
+    md = markdown_sink(df).collect()[0]["markdown"]
+    assert "![](img://p.png)" in md
+    assert "\nbar chart\n" in md
+    html = html_sink(df).collect()[0]["html"]
+    assert '<figure><img src="img://p.png" alt="" /></figure>' in html
+    assert '<figcaption class="annotation">bar chart</figcaption>' in html
+    assert "<figcaption>Figure 1</figcaption>" in html
+
+
 def test_read_docling_json_kv_and_form_items(spark):
     # key_value_items / form_items (document.py:2560-2562): GraphData cells
     # + to_value links flatten to (kv, kv_value) / (form_field, form_value)

@@ -1,0 +1,282 @@
+"""sf0.1 → sf1 scale-step demo (VERDICT r3 task #5).
+
+Runs the full chain — extraction, minhash LSH near-dup, simhash hamming
+near-dup, exact-substring removal + curation — at TWO corpus scales a
+decade apart on the same generating distributions:
+
+- extraction: the deterministic synth law corpus (docling_spark.synth)
+  at 12,000 docs (the sf0.1 bench scale) and 120,000 docs ("sf1"),
+- dedup/curation: the deterministic documents table
+  (docling_spark.synth_docs) at 5,000 docs (the sf0.1 testdata shape)
+  and 50,000 docs,
+
+and reports wall time plus the two 100 TB early-warning instruments at
+both levels:
+
+- minhash `candidate_ratio_e6` / candidates-per-doc (LSH selectivity —
+  a per-doc figure that grows with N means the band geometry is
+  degenerating toward all-pairs),
+- simhash `block_candidates_per_doc_e3` / `block_collision_ratio_e9`
+  (pigeonhole block-join selectivity — same reading).
+
+"Flat" across the step means: candidates-per-doc roughly constant
+(true-dup pairs grow O(N) at a constant planted dup rate) and the
+vs-all-pairs ratios FALLING ~1/N. Timing follows the BASELINE.md
+steady-state protocol (one untimed warm-up per stage, min over two timed
+passes) — the chain is a demonstration of scale behavior, not a
+microbenchmark, so two passes suffice.
+
+Usage:
+  python tools/bench_scale_step.py                # both levels, print JSON
+  python tools/bench_scale_step.py --small-only   # quick probe
+  python tools/bench_scale_step.py --write        # append BENCH/HISTORY.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _cached(path_tpl: str, n: int, build) -> str:
+    path = path_tpl.format(n=n)
+    if not os.path.exists(path):
+        build(path, n)
+    return path
+
+
+def _extract_corpus(n: int) -> str:
+    from docling_spark.synth import write_corpus_parquet
+
+    return _cached(
+        "/tmp/docling_spark_scalestep_corpus_{n}.parquet", n,
+        lambda p, n: write_corpus_parquet(p, n, seed=42),
+    )
+
+
+def _documents(n: int) -> str:
+    from docling_spark.synth_docs import write_documents_parquet
+
+    return _cached(
+        "/tmp/docling_spark_scalestep_docs_{n}.parquet", n,
+        lambda p, n: write_documents_parquet(p, n, seed=42),
+    )
+
+
+def _timed(fn, passes: int = 2):
+    """Steady-state: one untimed warm-up, then min wall over `passes`."""
+    fn()
+    wall = None
+    out = None
+    for _ in range(passes):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        wall = dt if wall is None else min(wall, dt)
+    return wall, out
+
+
+def run_level(spark, n_extract: int, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from docling_spark.ops.dedup import (
+        minhash_band_pairs, minhash_candidate_stats,
+        remove_duplicate_substrings, simhash_block_stats,
+        simhash_neardup_pairs)
+    from docling_spark.ops.textstats import curation_pipeline
+    from docling_spark.pipeline import extract
+
+    level: dict = {"extract_docs": n_extract, "dedup_docs": n_docs}
+
+    corpus = spark.read.parquet(_extract_corpus(n_extract))
+    wall, row = _timed(
+        lambda: extract(corpus)
+        .agg(F.count("*").alias("n"), F.sum(F.size("spans")).alias("spans"))
+        .collect()[0]
+    )
+    level["extract"] = {
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_extract / wall, 1),
+        "spans": row["spans"],
+    }
+
+    docs = spark.read.parquet(_documents(n_docs))
+
+    wall, rows = _timed(lambda: minhash_candidate_stats(docs).collect())
+    st = rows[0].asDict()
+    wall_pairs, n_pairs = _timed(lambda: minhash_band_pairs(docs).count())
+    level["minhash"] = {
+        "wall_sec": round(wall + wall_pairs, 2),
+        "candidate_pairs": st["n_candidate_pairs"],
+        "candidate_ratio_e6": st["candidate_ratio_e6"],
+        "candidates_per_doc": round(st["n_candidate_pairs"] / st["n_docs"], 3),
+        "band_pairs": n_pairs,
+    }
+
+    wall, rows = _timed(lambda: simhash_block_stats(docs).collect())
+    st = rows[0].asDict()
+    _, rows_k1 = _timed(lambda: simhash_block_stats(docs, max_hamming=1).collect())
+    st_k1 = rows_k1[0].asDict()
+    wall_pairs, n_pairs = _timed(
+        lambda: simhash_neardup_pairs(docs, max_hamming=3).count()
+    )
+    level["simhash"] = {
+        "wall_sec": round(wall + wall_pairs, 2),
+        "block_candidate_pairs": st["n_block_candidate_pairs"],
+        "block_candidates_per_doc_e3": st["block_candidates_per_doc_e3"],
+        "block_collision_ratio_e9": st["block_collision_ratio_e9"],
+        # the re-tuned geometry (k=1 → two 32-bit blocks) the instrument
+        # demands on this low-entropy word-salad corpus — see HISTORY note
+        "k1_candidates_per_doc_e3": st_k1["block_candidates_per_doc_e3"],
+        "k1_collision_ratio_e9": st_k1["block_collision_ratio_e9"],
+        "verified_pairs": n_pairs,
+    }
+
+    def curate():
+        dd = remove_duplicate_substrings(docs, window=10, min_df=2).select(
+            "doc_id", F.col("text_dedup").alias("text")
+        )
+        return curation_pipeline(dd, min_quality=0.3, lang="en").count()
+
+    wall, survivors = _timed(curate)
+    level["curation_e2e"] = {
+        "wall_sec": round(wall, 2),
+        "survivors": survivors,
+        "survivor_frac": round(survivors / n_docs, 4),
+    }
+    return level
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small-only", action="store_true")
+    ap.add_argument("--write", action="store_true",
+                    help="append the result section to BENCH/HISTORY.md")
+    args = ap.parse_args()
+
+    from docling_spark.session import get_spark
+
+    spark = get_spark(app="scale-step", master=f"local[{CORES}]",
+                      shuffle_partitions=CORES,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "512k",
+                                  "spark.sql.files.openCostInBytes": "0",
+                                  "spark.sql.execution.arrow.maxRecordsPerBatch": "256"})
+    levels = [("sf0.1", 12_000, 5_000)]
+    if not args.small_only:
+        levels.append(("sf1", 120_000, 50_000))
+    out = {}
+    for name, n_extract, n_docs in levels:
+        out[name] = run_level(spark, n_extract, n_docs)
+        print(f"== {name}: {json.dumps(out[name])}", file=sys.stderr)
+    spark.stop()
+
+    if "sf1" in out:
+        s, b = out["sf0.1"], out["sf1"]
+        out["health"] = {
+            "minhash_candidates_per_doc": [
+                s["minhash"]["candidates_per_doc"],
+                b["minhash"]["candidates_per_doc"],
+            ],
+            "minhash_ratio_e6": [
+                s["minhash"]["candidate_ratio_e6"],
+                b["minhash"]["candidate_ratio_e6"],
+            ],
+            "simhash_candidates_per_doc_e3": [
+                s["simhash"]["block_candidates_per_doc_e3"],
+                b["simhash"]["block_candidates_per_doc_e3"],
+            ],
+            "simhash_ratio_e9": [
+                s["simhash"]["block_collision_ratio_e9"],
+                b["simhash"]["block_collision_ratio_e9"],
+            ],
+            "simhash_k1_candidates_per_doc_e3": [
+                s["simhash"]["k1_candidates_per_doc_e3"],
+                b["simhash"]["k1_candidates_per_doc_e3"],
+            ],
+            "survivor_frac": [
+                s["curation_e2e"]["survivor_frac"],
+                b["curation_e2e"]["survivor_frac"],
+            ],
+        }
+    print(json.dumps(out))
+
+    if args.write and "sf1" in out:
+        _write_history(out)
+
+
+def _write_history(out: dict) -> None:
+    s, b, h = out["sf0.1"], out["sf1"], out["health"]
+    lines = [
+        "",
+        "## Scale-step demo: sf0.1 → sf1 (10× corpus, same distribution)",
+        "",
+        f"`tools/bench_scale_step.py` at local[{CORES}], steady-state "
+        "protocol; extraction corpus = docling_spark.synth (seed 42), "
+        "documents corpus = docling_spark.synth_docs (seed 42, planted "
+        "2% exact / 5% near dups at both scales).",
+        "",
+        "| stage | sf0.1 wall (s) | sf1 wall (s) | ratio (10× data) |",
+        "|---|---|---|---|",
+    ]
+    for key, label in [
+        ("extract", f"extraction ({s['extract_docs']//1000}k → "
+                    f"{b['extract_docs']//1000}k docs)"),
+        ("minhash", "minhash LSH stats + band pairs"),
+        ("simhash", "simhash block stats + verified pairs"),
+        ("curation_e2e", "substring removal + curation"),
+    ]:
+        ws, wb = s[key]["wall_sec"], b[key]["wall_sec"]
+        lines.append(f"| {label} | {ws} | {wb} | {round(wb / ws, 2)}× |")
+    lines += [
+        "",
+        f"Extraction throughput: {s['extract']['docs_per_sec']} → "
+        f"{b['extract']['docs_per_sec']} docs/s at 10× input.",
+        "",
+        "Health instruments (flat-per-doc = safe to keep scaling; the "
+        "vs-all-pairs ratios fall ~1/N as they should in a non-degenerate "
+        "corpus):",
+        "",
+        "| metric | sf0.1 | sf1 |",
+        "|---|---|---|",
+        f"| minhash candidates/doc | {h['minhash_candidates_per_doc'][0]} | "
+        f"{h['minhash_candidates_per_doc'][1]} |",
+        f"| minhash candidate ratio (e6) | {h['minhash_ratio_e6'][0]} | "
+        f"{h['minhash_ratio_e6'][1]} |",
+        f"| simhash k=3 block candidates/doc (e3) | "
+        f"{h['simhash_candidates_per_doc_e3'][0]} | "
+        f"{h['simhash_candidates_per_doc_e3'][1]} |",
+        f"| simhash k=3 block collision ratio (e9) | {h['simhash_ratio_e9'][0]} | "
+        f"{h['simhash_ratio_e9'][1]} |",
+        f"| simhash k=1 block candidates/doc (e3) | "
+        f"{h['simhash_k1_candidates_per_doc_e3'][0]} | "
+        f"{h['simhash_k1_candidates_per_doc_e3'][1]} |",
+        f"| curation survivor fraction | {h['survivor_frac'][0]} | "
+        f"{h['survivor_frac'][1]} |",
+        "",
+        "Reading: interpret per-doc candidates together with the collision "
+        "ratio. Minhash: flat per-doc, ratio falling ~1/N — healthy, keep "
+        "scaling (its features are content shingles, entropy independent "
+        "of N). Simhash: ratio constant in N at each geometry → per-doc "
+        "candidates grow linearly — the instrument firing: low-entropy "
+        "fingerprints (31-word vocabulary) collide distributionally, not "
+        "in the uniform N²/2^(64/(k+1)) regime. The k=1 row shows the "
+        "width knob (×~280 lower collision probability at the same 64-bit "
+        "budget); on a corpus this low-entropy the verdict is to use "
+        "minhash or widen past one long (128-bit = two block columns, "
+        "same pigeonhole join) before a full-corpus pass.",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH", "HISTORY.md"), "a") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
