@@ -61,9 +61,23 @@ def _split_merged_row(item_a: str, item_b: str, kp: str, desc: str) -> List[Tupl
     return [(item_a, kp, d1.strip()), (item_b, kp, d2.strip())]
 
 
-def normalize_pdf_spans(raw: List[Tuple[str, str, Optional[str]]]) -> List[Span]:
+_NO_PAGE = 1 << 30  # sentinel page for geometry-less spans (_reading_order)
+
+
+def normalize_pdf_spans(raw: List[Tuple[str, str, Optional[str]]],
+                        emit_page_breaks: bool = False) -> List[Span]:
     """Normalize one PDF-like document: decode → reading order → section
-    headers + reconstructed tables (as table_cell spans) + notes."""
+    headers + reconstructed tables (as table_cell spans) + notes.
+
+    `emit_page_breaks=True` inserts a ('page_break', '', None) span between
+    consecutive content-bearing rows whose pages differ — the span-stream
+    form of docling-core's page-break nodes (common.py:86-131: one node per
+    consecutive-items pair with differing page provenance, so an empty page
+    yields ONE break, not two); `markdown_sink(page_break_placeholder=...)`
+    renders them like MarkdownParams.page_break_placeholder
+    (markdown.py:89,795-810). A break falling inside a reconstructed
+    table is deferred to just after the table flush (the reference emits it
+    where the item ends). Default False keeps the span stream unchanged."""
     decoded = [
         (kind, decode_character_codes(text) or "", ref) for kind, text, ref in raw
     ]
@@ -71,12 +85,12 @@ def normalize_pdf_spans(raw: List[Tuple[str, str, Optional[str]]]) -> List[Span]
 
     out: List[Span] = []
     # rows grouped by (page, band): cells already x-sorted by _reading_order
-    rows: List[Tuple[str, List[Tuple[str, str, Optional[str]]]]] = []
+    rows: List[Tuple[int, List[Tuple[str, str, Optional[str]]]]] = []
     cur_key: Optional[Tuple[int, float]] = None
     for kind, text, ref, page, band, left in ordered:
         key = (page, band)
         if key != cur_key:
-            rows.append(("row", []))
+            rows.append((page, []))
             cur_key = key
         rows[-1][1].append((kind, text, ref))
 
@@ -88,11 +102,13 @@ def normalize_pdf_spans(raw: List[Tuple[str, str, Optional[str]]]) -> List[Span]
     pending: Optional[Tuple[str, Dict[str, Tuple[str, str]]]] = None
     notes_mode = False
     trailing: List[Span] = []
+    prev_page: Optional[int] = None  # page of the last content-bearing row
+    deferred_breaks = 0              # page breaks landing inside a pending table
 
     def flush_table() -> None:
         """Emit the pending group's reconstructed table: header row + item
         rows sorted by int item suffix (annex_processor.py:966)."""
-        nonlocal pending
+        nonlocal pending, deferred_breaks
         if pending is None:
             return
         header_text, items = pending
@@ -105,8 +121,11 @@ def normalize_pdf_spans(raw: List[Tuple[str, str, Optional[str]]]) -> List[Span]
             out.append(("table_cell", kp, f"#/tables/{table_idx}/r{r}c1"))
             out.append(("table_cell", desc, f"#/tables/{table_idx}/r{r}c2"))
         pending = None
+        if deferred_breaks:
+            out.extend([("page_break", "", None)] * deferred_breaks)
+            deferred_breaks = 0
 
-    for _tag, cells in rows:
+    for row_page, cells in rows:
         texts = [c[1] for c in cells]
         kinds = [c[0] for c in cells]
         joined = " ".join(t for t in texts if t).strip()
@@ -120,6 +139,14 @@ def normalize_pdf_spans(raw: List[Tuple[str, str, Optional[str]]]) -> List[Span]
             joined = " ".join(t for t in texts if t).strip()
             if not joined:
                 continue
+
+        if emit_page_breaks and row_page != _NO_PAGE:
+            if prev_page is not None and row_page != prev_page:
+                if pending is None:
+                    out.append(("page_break", "", None))
+                else:
+                    deferred_breaks += 1
+            prev_page = row_page
 
         if _ANNEX_TITLE_RE.match(joined):
             flush_table()

@@ -184,8 +184,14 @@ _HEADING_LEVELS = {
 }
 
 
-def render_markdown(spans: List[Span]) -> str:
+def render_markdown(spans: List[Span],
+                    page_break_placeholder: "str | None" = None) -> str:
     """One document's normalized spans → markdown string.
+
+    `page_break_placeholder` mirrors MarkdownParams.page_break_placeholder
+    (reference markdown.py:89,795-810): 'page_break' spans (emitted by
+    normalize_pdf_spans(emit_page_breaks=True)) render as the placeholder
+    block when set and are dropped when None (the reference default).
 
     Two modes, switched by the span arity:
     - 3-tuples (kind, text, ref): the legacy byte-exact rendering mirroring
@@ -273,6 +279,11 @@ def render_markdown(spans: List[Span]) -> str:
             flush_para()
             out.append(f"![{text}]({ref})")
             out.append("")
+        elif kind == "page_break":
+            flush_para()
+            if page_break_placeholder is not None:
+                out.append(page_break_placeholder)
+                out.append("")
         elif kind == "list_item":
             flush_para()
             out.append(f"- {disp}")
@@ -318,14 +329,17 @@ def _spans_with_optional_fmt(pdf: pd.DataFrame):
             yield [(s["kind"], s["text"], s["media_ref"]) for s in ss]
 
 
-def markdown_sink(df):
+def markdown_sink(df, page_break_placeholder: "str | None" = None):
     """normalized documents → (doc_id, markdown). An optional `fmt` column
     (array<string> aligned with spans, flags ⊆ "BIUS") switches the spans it
-    marks to docling-core-rule formatted rendering."""
+    marks to docling-core-rule formatted rendering. `page_break_placeholder`
+    renders 'page_break' spans as that block (reference
+    MarkdownParams.page_break_placeholder); None (default) drops them."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            md = [render_markdown(ss) for ss in _spans_with_optional_fmt(pdf)]
+            md = [render_markdown(ss, page_break_placeholder)
+                  for ss in _spans_with_optional_fmt(pdf)]
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "markdown": md})
 
     return df.mapInPandas(gen, schema="doc_id string, markdown string")
@@ -478,6 +492,8 @@ def render_html(spans: List[Span]) -> str:
         elif kind == "caption":
             flush_para()
             out.append(f"<figcaption>{disp}</figcaption>")
+        elif kind == "page_break":
+            flush_para()
         elif kind == "picture_annotation":
             # picture annotation text (classification class / description /
             # molecule SMILES — reader maps per common.py:136-151) rendered
@@ -664,6 +680,8 @@ def render_latex(spans: List[Span]) -> str:
         elif kind in ("odsek", "pismeno", "subitem", "footnote"):
             flush_para()
             out.append(f"\\textbf{{{disp}}}")
+        elif kind == "page_break":
+            flush_para()
         elif kind == "media":
             flush_para()
             body = f"\\includegraphics{{{ref}}}\n" if ref else ""
@@ -773,6 +791,8 @@ def render_doctags(spans: List[Span]) -> str:
         if kind in _DOCTAG_HEADING:
             tok = _DOCTAG_HEADING[kind]
             out.append(f"<{tok}>{text}</{tok}>")
+        elif kind == "page_break":
+            out.append("<page_break>")
         elif kind == "media":
             out.append(f"<picture>{text}</picture>")
         elif kind == "caption":

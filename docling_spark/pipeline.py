@@ -53,8 +53,16 @@ def _as_tuples(raw_spans) -> List[Span]:
     return out
 
 
-def extract_document(raw_spans) -> List[Span]:
-    """Sniff one document and run the matching normalization path."""
+def extract_document(raw_spans, emit_page_breaks: bool = False) -> List[Span]:
+    """Sniff one document and run the matching normalization path.
+
+    `emit_page_breaks=True` threads the PDF path's page boundaries into the
+    span stream as 'page_break' spans (see normalize_pdf_spans), which
+    `markdown_sink(page_break_placeholder=...)` renders like docling-core's
+    MarkdownParams.page_break_placeholder. Default False keeps the
+    span-sequence contract unchanged (HTML/stream sources carry no page
+    provenance, matching the reference where only paginated sources emit
+    page-break nodes)."""
     spans = _as_tuples(raw_spans)
     fmt = sniff.sniff_doc(spans)
     if fmt == sniff.HTML:
@@ -66,7 +74,7 @@ def extract_document(raw_spans) -> List[Span]:
                 flat.append((kind, text, ref))
         return reconstruct(flat)
     if fmt == sniff.PDF_LIKE:
-        return normalize_pdf_spans(spans)
+        return normalize_pdf_spans(spans, emit_page_breaks=emit_page_breaks)
     # docling stream (or unknown → treated as pre-parsed stream)
     return reconstruct(spans)
 

@@ -221,3 +221,65 @@ def test_f15_pdf_text_duplicating_table_dropped():
     # the table itself still has the cell
     cells = [t for k, t, _ in out if k == "table_cell"]
     assert "01.41.10" in cells
+
+
+# --- page breaks (stretch parity: MarkdownParams.page_break_placeholder) -----
+
+
+def test_pdf_page_breaks_golden():
+    """Two-page PDF-like doc: emit_page_breaks threads one page_break span
+    per content page transition (common.py:86-131 semantics — one break per
+    consecutive-content pair, so an empty middle page yields ONE break) and
+    markdown_sink-style rendering substitutes the placeholder
+    (markdown.py:89,795-810); default call keeps the stream unchanged."""
+    from docling_spark.operators.serialize import render_markdown
+
+    raw = [
+        ("pdf_cell", "Prvá strana text", "p=1;l=10.0;t=700.0"),
+        ("pdf_cell", "Ešte prvá strana", "p=1;l=10.0;t=650.0"),
+        # page 2 is blank; content resumes on page 3
+        ("pdf_cell", "Tretia strana text", "p=3;l=10.0;t=700.0"),
+        ("pdf_cell", "Záver tretej strany", "p=3;l=10.0;t=600.0"),
+    ]
+    plain = normalize_pdf_spans(raw)
+    assert [k for k, *_ in plain] == ["text", "text", "text", "text"]
+
+    out = normalize_pdf_spans(raw, emit_page_breaks=True)
+    assert [k for k, *_ in out] == [
+        "text", "text", "page_break", "text", "text"
+    ]
+
+    md = render_markdown(out, page_break_placeholder="<!-- page break -->")
+    assert md == (
+        "Prvá strana text\n\n"
+        "Ešte prvá strana\n\n"
+        "<!-- page break -->\n\n"
+        "Tretia strana text\n\n"
+        "Záver tretej strany\n"
+    )
+    # placeholder None (default): breaks dropped, byte-identical to plain
+    assert render_markdown(out) == render_markdown(plain)
+
+
+def test_pdf_page_break_inside_table_deferred():
+    """A page transition mid-table defers the break to after the table
+    flush (the reference emits the break where the item ends)."""
+    raw = [
+        ("pdf_cell", "Odpisová skupina 1", "p=1;l=10.0;t=700.0"),
+        ("pdf_cell", "1-1", "p=1;l=10.0;t=650.0"),
+        ("pdf_cell", "01.1", "p=1;l=60.0;t=650.0"),
+        ("pdf_cell", "Prvý riadok", "p=1;l=120.0;t=650.0"),
+        ("pdf_cell", "1-2", "p=2;l=10.0;t=700.0"),
+        ("pdf_cell", "02.2", "p=2;l=60.0;t=700.0"),
+        ("pdf_cell", "Druhý riadok", "p=2;l=120.0;t=700.0"),
+        ("pdf_cell", "Poznámky", "p=2;l=10.0;t=600.0"),
+        ("pdf_cell", "1. niečo", "p=2;l=10.0;t=550.0"),
+    ]
+    out = normalize_pdf_spans(raw, emit_page_breaks=True)
+    kinds = [k for k, *_ in out]
+    # table flushed intact, exactly one break, AFTER the last table cell
+    assert kinds.count("page_break") == 1
+    bp = kinds.index("page_break")
+    assert kinds[bp - 1] == "table_cell"
+    assert "table_cell" not in kinds[bp:]
+    assert out[bp + 1][1] == "Poznámky"
