@@ -599,6 +599,27 @@ def q_shared_windows(spark, sf_dir):
     return shared_window_pairs(_t(spark, sf_dir, "documents"), window=20)
 
 
+def q_c4_clean(spark, sf_dir):
+    # the C4 cleaning pass (Raffel et al. JMLR 2020 §2.2): policy-word doc
+    # drop + short-sentence drop + DATASET-level three-sentence-span dedup
+    # (first occurrence wins) + min-sentence doc gate. The documents table
+    # is a bare word stream, so the deterministic every-12-words sentence
+    # fallback segments it (the operator switches to real [.!?] splitting
+    # per-document when terminals exist).
+    from docling_spark.ops.textstats import c4_clean
+
+    return c4_clean(_t(spark, sf_dir, "documents"))
+
+
+def q_semdedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): k-means-cell-confined cosine near-dup
+    # removal keeping the most peripheral exemplar per duplicate group —
+    # the embedding-space counterpart of neardup_curation's keep rule
+    from docling_spark.ops.similarity import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition signals as exact integers
     from docling_spark.ops.textstats import repetition_stats
@@ -1421,10 +1442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every operator family NEW in round 4 (formatted/kv serializer
     channels, doctags source roundtrip, substring removal,
     decontamination, stratified sampling, curation e2e, multimodal
-    near-dup, ann_recall) — while positions 51+ hold ONLY entries whose
-    operator is subsumed by a window entry: `minhash_band_pairs` ⊂
-    `minhash_verified_pairs`, `ann_cosine_topk`/`ann_ivf_topk`/
-    `ann_ivf_kmeans_topk` ⊂ `ann_recall` (which composes all four ANN
+    near-dup, ann_recall, C4 cleaning, SemDeDup) — while positions 51+
+    hold ONLY entries whose operator is subsumed by a window entry:
+    `minhash_band_pairs`/`minhash_verified_pairs` ⊂ `neardup_curation`
+    (whose oracle re-runs the full LSH→verify pipeline before CC),
+    `ann_cosine_topk`/`ann_ivf_topk`/`ann_ivf_kmeans_topk`/
+    `ann_ivfpq_topk` ⊂ `ann_recall` (which composes all four ANN
     paths against the brute-force ground truth), `markdown_sink` ⊂
     `formatted_markdown` (same serializer, formatting channel on),
     `doctags_sink` ⊂ `doctags_roundtrip` (render ∘ parse),
@@ -1432,7 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `substring_dedup`, `minhash_dup_groups` ⊂ `neardup_curation`
     (CC over verified pairs), chunk_export_{md,json} ⊂ the rag variant,
     multimodal per-modality features ⊂ `multimodal_neardup`, plus
-    TPC-shape filler certified green in rounds 1–2. As of round 4 ALL 75
+    TPC-shape filler certified green in rounds 1–2. As of round 4 ALL 77
     entries carry full rows+schema+hash oracles (multimodal via committed
     single-process brute-force fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
@@ -1458,14 +1481,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "curation_e2e": q_curation_e2e,
         "neardup_curation": q_neardup_curation,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "c4_clean": q_c4_clean,
         "substring_dedup": q_substring_dedup,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "stratified_sample": q_stratified_sample,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "semdedup": q_semdedup,
         "ann_recall": q_ann_recall,
         "embedding_neardup": q_embedding_neardup,
         "chunk_split": q_chunk_split,
@@ -1499,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "parts_by_type": q_parts_by_type,
         "minhash_signature": q_minhash_signature,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_candidate_ratio": q_minhash_candidate_ratio,
         "minhash_dup_groups": q_minhash_dup_groups,
@@ -1835,6 +1860,144 @@ def _duck_simhash_neardup_sql(bits: int = 64, max_hamming: int = 3) -> str:
           ON a.block_id = b.block_id AND a.block_val = b.block_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _duck_c4_clean_sql(words_per_sentence: int = 12, min_words: int = 3,
+                       min_sentences: int = 3, span: int = 3) -> str:
+    """C4 cleaning oracle — mirrors ops.textstats.c4_clean term-for-term:
+    policy-word doc drop, sentence segmentation (terminal-punctuation split
+    or the every-k-words fallback, per document), short-sentence drop,
+    dataset-level span dedup keeping the globally-first occurrence, then
+    the min-sentence doc gate."""
+    toks = P.tokens_duck("text")
+    wh_concat = " || chr(31) || ".join(
+        ["sent"] + [f"lead(sent, {i}) OVER w" for i in range(1, span)]
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents
+          WHERE NOT (contains(text, 'lorem ipsum')
+                     OR contains(text, 'javascript')
+                     OR contains(text, '{{'))
+        ),
+        segged AS (
+          SELECT doc_id,
+                 CASE WHEN regexp_matches(text, '[.!?]')
+                      THEN list_filter(list_transform(
+                               regexp_split_to_array(text, '[.!?]'), s -> trim(s)),
+                               s -> s != '')
+                      ELSE list_transform(
+                               generate_series(0, (len({toks}) - 1) // {words_per_sentence}),
+                               i -> array_to_string(
+                                   ({toks})[i * {words_per_sentence} + 1
+                                            : (i + 1) * {words_per_sentence}], ' '))
+                 END AS sents
+          FROM base
+        ),
+        raw AS (
+          SELECT doc_id, i AS raw_pos, sents[i + 1] AS sent
+          FROM segged, UNNEST(generate_series(0, len(sents) - 1)) AS t(i)
+          WHERE len(regexp_split_to_array(trim(sents[i + 1]), '\\s+')) >= {min_words}
+        ),
+        sents AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos,
+                 sent
+          FROM raw
+        ),
+        spans AS (
+          SELECT doc_id, pos, md5({wh_concat}) AS wh,
+                 lead(sent, {span - 1}) OVER w IS NOT NULL AS _full
+          FROM sents WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        marked AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+                 count(*) OVER (PARTITION BY wh) AS cnt
+          FROM spans WHERE _full
+        ),
+        excised AS (
+          SELECT DISTINCT doc_id, pos + d AS pos
+          FROM marked, UNNEST(generate_series(0, {span - 1})) AS u(d)
+          WHERE cnt > 1 AND rn > 1
+        ),
+        kept AS (
+          SELECT s.doc_id, s.pos, s.sent FROM sents s
+          WHERE NOT EXISTS (SELECT 1 FROM excised e
+                            WHERE e.doc_id = s.doc_id AND e.pos = s.pos)
+        ),
+        dropped AS (SELECT doc_id, count(*) AS n_dropped_dup FROM excised GROUP BY doc_id),
+        agg AS (
+          SELECT doc_id, string_agg(sent, '. ' ORDER BY pos) AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_sentences
+          FROM kept GROUP BY doc_id
+        ),
+        doc_list AS (SELECT DISTINCT doc_id FROM sents)
+        SELECT l.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               CAST(coalesce(a.n_sentences, 0) AS BIGINT) AS n_sentences,
+               CAST(coalesce(d.n_dropped_dup, 0) AS BIGINT) AS n_dropped_dup,
+               (coalesce(a.n_sentences, 0) >= {min_sentences}) AS survived
+        FROM doc_list l
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN dropped d USING (doc_id)
+    """
+
+
+def _duck_semdedup_sql(threshold: float = 0.35, n_cells: int = 8,
+                       dim: int = 64, seed: int = 11) -> str:
+    """SemDeDup oracle — the same seeded-centroid assignment as ivf_cells,
+    within-cell cosine pairs (6dp-rounded, like the Spark side), recursive
+    transitive closure, and the keep-most-peripheral rule (min cent_cos,
+    then min id, per component)."""
+    dot_vc = _duck_dot("v", "c")
+    return f"""
+        WITH RECURSIVE {_duck_ivf_cents(n_cells, dim, seed)},
+        base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, v, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY {dot_vc} DESC, cell ASC) AS rn
+          FROM base CROSS JOIN cents
+        ),
+        corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+        wc AS (
+          SELECT vec_id, cell, v,
+                 round({dot_vc} / sqrt({_duck_dot('v', 'v')} * {_duck_dot('c', 'c')}), 6)
+                   AS cent_cos
+          FROM corpus JOIN cents USING (cell)
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round({_duck_dot('a.v', 'b.v')}
+                      / (sqrt({_duck_dot('a.v', 'a.v')}) * sqrt({_duck_dot('b.v', 'b.v')})), 6)
+                >= {threshold}
+        ),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (SELECT src AS vec_id, least(src, min(dst)) AS component_id
+                 FROM reach GROUP BY src),
+        win AS (
+          SELECT component_id, vec_id AS keep_id FROM (
+            SELECT c.component_id, w.vec_id,
+                   row_number() OVER (PARTITION BY c.component_id
+                                      ORDER BY w.cent_cos ASC, w.vec_id ASC) AS rn
+            FROM wc w JOIN comp c USING (vec_id)
+          ) WHERE rn = 1
+        )
+        SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cell,
+               CAST(floor(w.cent_cos * 1000000) AS BIGINT) AS cent_cos_e6,
+               (c.component_id IS NULL OR w.vec_id = n.keep_id) AS kept
+        FROM wc w
+        LEFT JOIN comp c USING (vec_id)
+        LEFT JOIN win n ON n.component_id = c.component_id
     """
 
 
@@ -3594,6 +3757,8 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": _duck_decontamination_sql(),
         "substring_dedup": _duck_substring_dedup_sql(),
         "stratified_sample": _duck_stratified_sample_sql(),
+        "c4_clean": _duck_c4_clean_sql(),
+        "semdedup": _duck_semdedup_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "chunk_export_rag",
     "hybrid_chunks",
     "doctags_roundtrip",
+    "c4_clean",
+    "semdedup",
 ]
 
 

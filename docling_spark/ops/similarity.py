@@ -631,3 +631,72 @@ def ann_ivfpq_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", F.col("rank").cast("long"))
     )
+
+
+def semdedup(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 8, dim: int = 64, threshold: float = 0.95,
+             seed: int = 11, centroids=None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and removing
+    within-cluster items whose pairwise cosine exceeds `threshold`,
+    keeping per duplicate group the exemplar with the LOWEST cosine to
+    its own cluster centroid (the paper's §3 keep rule — the most
+    peripheral member survives; ties break to the lowest id).
+
+    Returns every input row: (vec_id, cell, cent_cos_e6, kept).
+
+    Scale shape: the pairwise comparison is confined WITHIN k-means cells
+    — the paper's trick: cluster count grows with the corpus so cell
+    population stays bounded, turning all-pairs O(N²) into Σ|cell|².
+    The cell self-join is an equi-join (hash shuffle on cell), the
+    centroid table is a broadcast literal, components run on the tiny
+    above-threshold pair list (ops.dedup.dup_components, O(log n) star
+    fallback), and the keep rule is one min(struct) per component — no
+    global all-pairs anywhere. Cosines are rounded to 6dp before the
+    threshold compare so the decision is bit-identical across engines
+    (same discipline as embedding_neardup_pairs)."""
+    from docling_spark.ops.dedup import dup_components
+
+    spark = emb.sparkSession
+    cents_np = centroids if centroids is not None else _centroids(n_cells, dim, seed)
+    cents_df = _centroid_df(spark, cents_np)
+    assigned = _assign_cells(emb, n_cells, dim, seed, id_col, vec_col,
+                             cents=cents_df)
+    base = (
+        assigned.join(F.broadcast(cents_df), "cell")
+        .select(
+            F.col(id_col), F.col("cell"), F.col("v"),
+            F.round(_dot("v", "c") / F.sqrt(_dot("v", "v") * _dot("c", "c")), 6)
+            .alias("cent_cos"),
+        )
+        .localCheckpoint(eager=False)  # reused 3× below; truncate lineage
+    )
+    a = base.select(F.col(id_col).alias("id_a"), "cell", F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), "cell", F.col("v").alias("vb"))
+    cos = F.round(
+        F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+        / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))), 6)
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    member = dup_components(pairs).withColumnRenamed("doc_id", id_col)
+    win = (
+        base.join(member, id_col)
+        .groupBy("component_id")
+        .agg(F.min(F.struct("cent_cos", id_col)).alias("w"))
+        .select("component_id", F.col(f"w.{id_col}").alias("keep_id"))
+    )
+    return (
+        base.join(member, id_col, "left")
+        .join(win, "component_id", "left")
+        .select(
+            F.col(id_col), F.col("cell"),
+            F.floor(F.col("cent_cos") * 1_000_000).cast("long").alias("cent_cos_e6"),
+            (F.col("component_id").isNull() | (F.col(id_col) == F.col("keep_id")))
+            .alias("kept"),
+        )
+    )

@@ -230,6 +230,118 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
     )
 
 
+def c4_clean(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             min_words: int = 3, min_sentences: int = 3, span: int = 3,
+             sentence_delims: str = "[.!?]", words_per_sentence: int = 12,
+             policy_words=("lorem ipsum", "javascript", "{")) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al., JMLR 2020 §2.2 — the public
+    recipe behind the C4/T5 corpus) as one composable operator:
+
+      1. segment each document into sentences — on terminal punctuation
+         when the corpus has it (`sentence_delims`), else a deterministic
+         every-`words_per_sentence`-words fallback (the /root/testdata
+         documents table is a bare word stream);
+      2. drop documents containing a policy word (C4 drops pages with
+         "lorem ipsum", the brace "{" of leaked code, and its bad-word
+         list — represented here by the small public `policy_words`);
+      3. drop sentences with fewer than `min_words` words;
+      4. DATASET-level span dedup: any `span`-sentence sliding window that
+         occurs more than once in the corpus is kept only at its first
+         occurrence (lowest (doc_id, position)) and excised everywhere
+         else — C4's "three-sentence span" rule, the sentence-granularity
+         sibling of remove_duplicate_substrings (Lee et al. ACL'22);
+      5. drop documents left with fewer than `min_sentences` sentences.
+
+    Returns (doc_id, clean_text, n_sentences, n_dropped_dup) for surviving
+    documents.
+
+    Scale shape: the only wide exchange is the span-hash groupBy/join, and
+    it carries (8-byte hash, doc_id, pos) — never sentence text. The
+    first-occurrence winner is `min(struct(doc_id, pos))` (map-side
+    combinable); excised positions flow back on a hash equi-join keyed by
+    (doc_id, pos). At 100 TB this is the exact shuffle profile of
+    shared_window_pairs, which the sf1 scale-step demo measured flat."""
+    toks = F.expr(P.tokens_spark(text_col))
+    has_delim = F.col(text_col).rlike(sentence_delims)
+    # sentence array: regexp split on terminals, or k-word regrouping
+    regroup = F.expr(
+        f"transform(sequence(0, (size({P.tokens_spark(text_col)}) - 1) DIV {words_per_sentence}), "
+        f"i -> array_join(slice({P.tokens_spark(text_col)}, i * {words_per_sentence} + 1, {words_per_sentence}), ' '))"
+    )
+    split_sents = F.expr(
+        f"filter(transform(split({text_col}, '{sentence_delims}'), s -> trim(s)), s -> s != '')"
+    )
+    policy = F.lit(False)
+    for w in policy_words:
+        policy = policy | F.col(text_col).contains(w)
+    sents = (
+        docs.filter(~policy)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.when(has_delim, split_sents).otherwise(regroup).alias("_sents"),
+        )
+        .select("doc_id", F.posexplode("_sents").alias("raw_pos", "sent"))
+        .filter(F.size(F.expr(P.tokens_spark("sent"))) >= min_words)
+    )
+    from pyspark.sql.window import Window
+
+    # re-number surviving sentences so spans are over the FILTERED stream
+    # (C4 applies the line filters before the span dedup)
+    pos_w = Window.partitionBy("doc_id").orderBy("raw_pos")
+    sents = sents.withColumn("pos", F.row_number().over(pos_w) - 1).drop("raw_pos")
+    sents = sents.localCheckpoint(eager=False)
+
+    lead_cols = [F.col("sent")] + [
+        F.lead("sent", i).over(pos_w.orderBy("pos")) for i in range(1, span)
+    ]
+    spans_df = (
+        sents.withColumn("_w", F.concat_ws("", *lead_cols))
+        .withColumn(
+            "_full",
+            F.lead("sent", span - 1).over(Window.partitionBy("doc_id").orderBy("pos")).isNotNull(),
+        )
+        .filter(F.col("_full"))
+        .select("doc_id", "pos", F.md5("_w").alias("wh"))
+    )
+    dup_w = (
+        spans_df.groupBy("wh")
+        .agg(F.count("*").alias("n"), F.min(F.struct("doc_id", "pos")).alias("first"))
+        .filter(F.col("n") > 1)
+    )
+    # positions excised: every occurrence of a duplicated span EXCEPT the
+    # first keeps nothing; the window covers pos..pos+span-1
+    excised = (
+        spans_df.join(dup_w, "wh")
+        .filter(~((F.col("doc_id") == F.col("first.doc_id")) & (F.col("pos") == F.col("first.pos"))))
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {span - 1})")).alias("pos"))
+        .distinct()
+    )
+    kept = sents.join(excised, ["doc_id", "pos"], "left_anti")
+    dropped = excised.groupBy("doc_id").agg(F.count("*").alias("n_dropped_dup"))
+    # complete accounting: every doc with ≥1 line-filtered sentence appears,
+    # with survived=false when the span dedup (or the line filters) left it
+    # under min_sentences — C4 reports what was removed, not just what stayed
+    doc_list = sents.select("doc_id").distinct()
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "sent"))), lambda s: s["sent"]),
+            ". ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_sentences"),
+    )
+    return (
+        doc_list.join(agg, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_sentences", F.lit(0)).cast("long").alias("n_sentences"),
+            F.coalesce("n_dropped_dup", F.lit(0)).cast("long").alias("n_dropped_dup"),
+            (F.coalesce("n_sentences", F.lit(0)) >= min_sentences).alias("survived"),
+        )
+    )
+
+
 def stratified_sample(docs: DataFrame, rates: dict, key_col: str = "lang",
                       default_rate: float = 0.0, id_col: str = "doc_id",
                       denom: int = 1_000_000) -> DataFrame:

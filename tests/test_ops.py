@@ -749,3 +749,70 @@ def test_remove_duplicate_substrings(spark):
     # windows at starts 1,2,3 are all shared → tokens 1..7 covered
     assert got2[1] == ("tail1", 7)
     assert got2[2] == ("tail2", 7)
+
+
+def test_c4_clean_span_dedup(spark):
+    from docling_spark.ops.textstats import c4_clean
+
+    # sentence-delimited docs (the real-[.!?] path): doc 1 and doc 2 share a
+    # 3-sentence run; doc 2's copy is excised, doc 2 survives on its own tail
+    shared = "one two three four. five six seven eight. nine ten eleven twelve."
+    docs = spark.createDataFrame([
+        (1, shared + " unique tail one here. second unique tail here. third unique tail here."),
+        (2, shared + " other ending alpha beta. other ending gamma delta. other ending epsilon zeta."),
+        (3, "totally different sentence one. totally different sentence two. totally different sentence three."),
+        (4, "lorem ipsum dolor sit. more lorem filler text. and yet more filler."),  # policy drop
+        (5, "just one short sentence."),                                             # < min_sentences
+        (6, "no."),                                                                  # every sentence < min_words
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert 4 not in out                       # policy word drops the whole doc
+    assert 6 not in out                       # no qualifying sentence stream at all
+    assert out[1]["n_dropped_dup"] == 0       # first occurrence keeps the span
+    assert out[1]["survived"]
+    assert out[2]["n_dropped_dup"] == 3       # later occurrence excised
+    assert out[2]["survived"]                 # 3 unique sentences remain
+    assert "one two three four" not in out[2]["clean_text"]
+    assert "one two three four" in out[1]["clean_text"]
+    assert out[3]["n_dropped_dup"] == 0 and out[3]["survived"]
+    assert not out[5]["survived"] and out[5]["n_sentences"] == 1
+
+    # word-stream fallback path: identical docs → the later one is excised
+    # wholesale and fails the doc gate
+    stream = " ".join(f"w{i}" for i in range(60))
+    docs2 = spark.createDataFrame(
+        [(10, stream), (11, stream)], "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in c4_clean(docs2).collect()}
+    assert out2[10]["survived"] and out2[10]["n_dropped_dup"] == 0
+    assert not out2[11]["survived"]           # every span duplicated doc 10
+
+
+def test_semdedup_keep_rule(spark):
+    import math
+
+    from docling_spark.ops.similarity import semdedup
+
+    # 8-dim toy space: vectors 1,2,3 are near-identical (cosine ≈ 1);
+    # vector 4 is orthogonal. The exemplar kept is the group member with
+    # the LOWEST cosine to its cell centroid (most peripheral), not min id.
+    base = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    near = [1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    nearer = [1.0, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    ortho = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, nearer), (4, ortho)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, n_cells=4, dim=8, threshold=0.95, seed=11).collect()}
+    assert len(out) == 4                      # every row comes back flagged
+    assert out[4]["kept"]                     # orthogonal: no duplicate
+    group = [out[1], out[2], out[3]]
+    kept = [r for r in group if r["kept"]]
+    assert len(kept) == 1                     # exactly one exemplar survives
+    # the survivor is the min-cent_cos member (tie-break min id)
+    min_cos = min(r["cent_cos_e6"] for r in group)
+    assert kept[0]["cent_cos_e6"] == min_cos
+    # determinism
+    out2 = {r["vec_id"]: r["kept"] for r in
+            semdedup(emb, n_cells=4, dim=8, threshold=0.95, seed=11).collect()}
+    assert out2 == {k: v["kept"] for k, v in out.items()}
