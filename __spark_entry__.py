@@ -1221,6 +1221,76 @@ def q_kv_form_sinks(spark, sf_dir):
     return html_sink(read_docling_json(df))
 
 
+def _azure_payload(i: int) -> str:
+    """One deterministic docling-JSON doc exercising every azure.py branch:
+    role mapping, BOTTOMLEFT→TOPLEFT normalization (the i-varied section
+    header bbox), prov-less skip, anchor-only spanning header cells, a cell
+    bbox region, rowHeader kind, picture footnote resolution."""
+    import json as _json
+
+    return _json.dumps({
+        "name": f"azdoc-{i:03d}",
+        "pages": {"1": {"size": {"width": 612.0, "height": 792.0}, "page_no": 1}},
+        "texts": [
+            {"self_ref": "#/texts/0", "label": "title", "text": f"Dokument {i}",
+             "prov": [{"page_no": 1, "bbox": {"l": 10.0, "t": 10.0, "r": 200.0,
+                                              "b": 40.0, "coord_origin": "TOPLEFT"}}]},
+            {"self_ref": "#/texts/1", "label": "section_header", "text": f"Časť {i}",
+             "prov": [{"page_no": 1, "bbox": {"l": 10.0, "t": 712.0 - i, "r": 300.0,
+                                              "b": 692.0 - i,
+                                              "coord_origin": "BOTTOMLEFT"}}]},
+            {"self_ref": "#/texts/2", "label": "text", "text": "bez geometrie"},
+            {"self_ref": "#/texts/3", "label": "footnote", "text": f"Pozn. {i}",
+             "prov": [{"page_no": 1, "bbox": {"l": 10.0, "t": 700.0, "r": 150.0,
+                                              "b": 712.0, "coord_origin": "TOPLEFT"}}]},
+        ],
+        "tables": [{"self_ref": "#/tables/0",
+                    "prov": [{"page_no": 1, "bbox": {"l": 20.0, "t": 80.0, "r": 300.0,
+                                                     "b": 200.0,
+                                                     "coord_origin": "TOPLEFT"}}],
+                    "data": {"num_rows": 2, "num_cols": 2, "grid": [
+                        [{"text": f"Hlavička {i}", "row_span": 1, "col_span": 2,
+                          "start_row_offset_idx": 0, "start_col_offset_idx": 0,
+                          "column_header": True},
+                         {"text": f"Hlavička {i}", "row_span": 1, "col_span": 2,
+                          "start_row_offset_idx": 0, "start_col_offset_idx": 0,
+                          "column_header": True}],
+                        [{"text": f" a{i} ", "row_span": 1, "col_span": 1,
+                          "start_row_offset_idx": 1, "start_col_offset_idx": 0,
+                          "bbox": {"l": 20.0, "t": 140.0, "r": 160.0, "b": 200.0,
+                                   "coord_origin": "TOPLEFT"}},
+                         {"text": f"b{i}", "row_span": 1, "col_span": 1,
+                          "start_row_offset_idx": 1, "start_col_offset_idx": 1,
+                          "row_header": True}]]}}],
+        "pictures": [{"self_ref": "#/pictures/0",
+                      "prov": [{"page_no": 1, "bbox": {"l": 320.0, "t": 80.0,
+                                                       "r": 500.0, "b": 220.0,
+                                                       "coord_origin": "TOPLEFT"}}],
+                      "footnotes": [{"$ref": "#/texts/3"}]}],
+        "body": {"children": [{"$ref": "#/texts/0"}, {"$ref": "#/texts/1"},
+                              {"$ref": "#/texts/2"}, {"$ref": "#/tables/0"},
+                              {"$ref": "#/pictures/0"}]},
+    })
+
+
+def q_azure_sink(spark, sf_dir):
+    """The serializer matrix's FIFTH format (reference
+    transforms/serializer/azure.py): Azure Document Intelligence-shape JSON
+    over docling-JSON payloads. Byte-for-byte parity with the reference's
+    own AzureDocSerializer is pinned by tests/test_azure_sink.py (live
+    differential on constructed DoclingDocuments); this query pins the
+    distributed execution with a hand-encoded expected-bytes oracle over
+    the deterministic fixture payloads, like kv_form_sinks."""
+    from docling_spark.operators.serialize import azure_sink
+
+    _ensure_workers(spark)
+    df = spark.createDataFrame(
+        [(f"azdoc-{i:03d}", _azure_payload(i)) for i in range(8)],
+        "doc_id string, payload string",
+    )
+    return azure_sink(df)
+
+
 def _duck_extract_normalized_sql() -> str:
     """See q_extract_normalized: the single-process Spark-free build of the
     same per-document extraction, read back as the expected table."""
@@ -1454,9 +1524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `curation_pipeline`/`shared_windows` ⊂ `curation_e2e`/
     `substring_dedup`, `minhash_dup_groups` ⊂ `neardup_curation`
     (CC over verified pairs), chunk_export_{md,json} ⊂ the rag variant,
-    multimodal per-modality features ⊂ `multimodal_neardup`, plus
-    TPC-shape filler certified green in rounds 1–2. As of round 4 ALL 77
-    entries carry full rows+schema+hash oracles (multimodal via committed
+    multimodal per-modality features ⊂ `multimodal_neardup`,
+    `extract_kind_histogram` ⊂ `extract_normalized` (a count rollup over
+    the same normalized parquet its oracle reads), plus TPC-shape filler
+    certified green in rounds 1–2. As of round 4 ALL 78 entries carry
+    full rows+schema+hash oracles (multimodal via committed
     single-process brute-force fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
     """
@@ -1500,7 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_densify": q_grid_densify,
         "token_set_ops": q_token_set_ops,
         "extract_normalized": q_extract_normalized,
-        "extract_kind_histogram": q_extract_kind_histogram,
+        "azure_sink": q_azure_sink,
         "formatted_markdown": q_formatted_markdown,
         "html_sink": q_html_sink,
         "extract_full": q_extract_full,
@@ -1537,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": x_multimodal_audio_features,
         "multimodal_frame_sample": x_multimodal_frame_sample,
         "markdown_sink": q_markdown_sink,
+        "extract_kind_histogram": q_extract_kind_histogram,
         "doctags_sink": q_doctags_sink,
         "chunk_export_md": q_chunk_export_md,
         "chunk_export_json": q_chunk_export_json,
@@ -3832,6 +3905,22 @@ def oracle_sql() -> dict[str, str]:
                    || '<dt>Podpis</dt>' || chr(10)
                    || '<dd>v. r.</dd>' || chr(10)
                    || '</dl>' || chr(10) || '</div>' || chr(10) AS html
+            FROM range(8) t(i)
+        """,
+        # expected bytes hand-encoded from azure.py's model layout (indent
+        # None → json.dumps ', '/': ' separators); i-varied fields are the
+        # content strings and the BOTTOMLEFT-normalized section-header
+        # polygon (792 − (712 − i) = 80 + i, 792 − (692 − i) = 100 + i)
+        "azure_sink": """
+            SELECT 'azdoc-' || lpad(CAST(t.i AS VARCHAR), 3, '0') AS doc_id,
+                   '{"pages": [{"pageNumber": 1, "width": 612.0, "height": 792.0, "words": []}], '
+                   || '"tables": [{"rowCount": 2, "columnCount": 2, "boundingRegions": [{"pageNumber": 1, "polygon": [20.0, 80.0, 300.0, 80.0, 300.0, 200.0, 20.0, 200.0]}], '
+                   || '"cells": [{"content": "Hlavička ' || t.i || '", "rowIndex": 0, "columnIndex": 0, "rowSpan": 1, "colSpan": 2, "kind": "columnHeader"}, '
+                   || '{"content": "a' || t.i || '", "rowIndex": 1, "columnIndex": 0, "rowSpan": 1, "colSpan": 1, "boundingRegions": [{"pageNumber": 1, "polygon": [20.0, 140.0, 160.0, 140.0, 160.0, 200.0, 20.0, 200.0]}]}, '
+                   || '{"content": "b' || t.i || '", "rowIndex": 1, "columnIndex": 1, "rowSpan": 1, "colSpan": 1, "kind": "rowHeader"}]}], '
+                   || '"figures": [{"boundingRegions": [{"pageNumber": 1, "polygon": [320.0, 80.0, 500.0, 80.0, 500.0, 220.0, 320.0, 220.0]}], "footnotes": [{"content": "Pozn. ' || t.i || '", "boundingRegions": [{"pageNumber": 1, "polygon": [10.0, 700.0, 150.0, 700.0, 150.0, 712.0, 10.0, 712.0]}]}]}], '
+                   || '"paragraphs": [{"content": "Dokument ' || t.i || '", "boundingRegions": [{"pageNumber": 1, "polygon": [10.0, 10.0, 200.0, 10.0, 200.0, 40.0, 10.0, 40.0]}], "role": "title"}, '
+                   || '{"content": "Časť ' || t.i || '", "boundingRegions": [{"pageNumber": 1, "polygon": [10.0, ' || (80 + t.i) || '.0, 300.0, ' || (80 + t.i) || '.0, 300.0, ' || (100 + t.i) || '.0, 10.0, ' || (100 + t.i) || '.0]}], "role": "sectionHeading"}]}' AS azure
             FROM range(8) t(i)
         """,
         "html_sink": _duck_html_sink_sql(),

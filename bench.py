@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "doctags_roundtrip",
     "c4_clean",
     "semdedup",
+    "azure_sink",
 ]
 
 

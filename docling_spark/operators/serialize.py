@@ -991,3 +991,219 @@ def chunk_sink(df, level: str = "odsek"):
             )
 
     return df.mapInPandas(gen, schema=CHUNK_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Azure sink (the reference serializer matrix's fifth format:
+# transforms/serializer/azure.py — a JSON accumulator over the document
+# traversal mirroring the Azure Document Intelligence layout output:
+# pages :505-515, paragraphs with role mapping :176-230, tables with
+# anchor-only spanning cells + header kinds :235-310, figures with resolved
+# footnote refs :313-361, TOPLEFT polygon normalization :77-100,
+# exclude_none model dump + json.dumps(ensure_ascii=False) :516-519.
+# Operates on the raw docling-JSON payload (the serializer's input IS the
+# DoclingDocument); traversal follows body.children pointer order like
+# read_docling_json.)
+# ---------------------------------------------------------------------------
+
+_AZURE_ROLE = {
+    "title": "title",
+    "section_header": "sectionHeading",
+    "footnote": "footnote",
+    "page_header": "pageHeader",
+    "page_footer": "pageFooter",
+}
+
+
+def _azure_polygon(prov: "list | None", pages: dict) -> "tuple[list | None, int]":
+    """First-provenance polygon [l,t, r,t, r,b, l,b], normalized to TOPLEFT
+    origin when the page size is known (azure.py:77-100 + the reference
+    BoundingBox.to_top_left_origin: t'=h-t, b'=h-b). Returns (polygon,
+    page_no); polygon None when the item carries no usable bbox — the
+    caller then SKIPS the item, exactly the reference's gating."""
+    if not prov:
+        return None, 1
+    p = prov[0] or {}
+    page_no = p.get("page_no", 1)
+    bbox = p.get("bbox") or {}
+    l, t, r, b = (bbox.get(k) for k in ("l", "t", "r", "b"))
+    if None in (l, t, r, b):
+        return None, page_no
+    size = (pages.get(str(page_no)) or {}).get("size")
+    if size and str(bbox.get("coord_origin", "TOPLEFT")).upper() != "TOPLEFT":
+        h = size["height"]
+        t, b = h - t, h - b
+    return [l, t, r, t, r, b, l, b], page_no
+
+
+def render_azure(payload: str, indent: "int | None" = None) -> str:
+    """One docling-JSON payload → the Azure-layout JSON string.
+
+    Structure and field order mirror the reference's pydantic models
+    (azure.py:120-174): pages(pageNumber, width, height, words=[]),
+    tables(rowCount, columnCount, boundingRegions, cells), figures
+    (boundingRegions[, footnotes]), paragraphs(content, boundingRegions
+    [, role]) — None-valued optionals dropped (model_dump(exclude_none)),
+    json.dumps(ensure_ascii=False, indent=indent) byte-for-byte."""
+    import json as _json
+
+    d = _json.loads(payload) if isinstance(payload, str) else payload
+    pages = d.get("pages") or {}
+    texts = d.get("texts") or []
+    tables = d.get("tables") or []
+    pictures = d.get("pictures") or []
+
+    out_tables: list = []
+    out_figures: list = []
+    out_paragraphs: list = []
+
+    def _text_paragraph(t: dict) -> "dict | None":
+        poly, page_no = _azure_polygon(t.get("prov"), pages)
+        content = t.get("text") or ""
+        if content == "" and poly is not None:
+            return None
+        if poly is None:
+            return None
+        para = {
+            "content": content,
+            "boundingRegions": [{"pageNumber": page_no, "polygon": poly}],
+        }
+        role = _AZURE_ROLE.get(t.get("label"))
+        if role is not None:
+            para["role"] = role
+        return para
+
+    def _visit_text(t: dict) -> None:
+        para = _text_paragraph(t)
+        if para is not None:
+            out_paragraphs.append(para)
+
+    def _visit_table(tb: dict) -> None:
+        poly, page_no = _azure_polygon(tb.get("prov"), pages)
+        if poly is None:
+            return
+        data = tb.get("data") or {}
+        grid = data.get("grid") or []
+        cells = []
+        for i, row in enumerate(grid):
+            for j, cell in enumerate(row or []):
+                if cell is None:
+                    continue
+                if (i != cell.get("start_row_offset_idx")
+                        or j != cell.get("start_col_offset_idx")):
+                    continue  # spanning cells materialize once, at the anchor
+                c = {
+                    "content": (cell.get("text") or "").strip(),
+                    "rowIndex": cell.get("start_row_offset_idx"),
+                    "columnIndex": cell.get("start_col_offset_idx"),
+                    "rowSpan": max(cell.get("row_span") or 1, 1),
+                    "colSpan": max(cell.get("col_span") or 1, 1),
+                }
+                kind = ("columnHeader" if cell.get("column_header")
+                        else ("rowHeader" if cell.get("row_header") else None))
+                if kind is not None:
+                    c["kind"] = kind
+                cb = cell.get("bbox") or {}
+                if all(cb.get(k) is not None for k in ("l", "t", "r", "b")):
+                    l, t, r, b = (cb.get(k) for k in ("l", "t", "r", "b"))
+                    size = (pages.get(str(page_no)) or {}).get("size")
+                    if size and str(cb.get("coord_origin", "TOPLEFT")).upper() != "TOPLEFT":
+                        h = size["height"]
+                        t, b = h - t, h - b
+                    c["boundingRegions"] = [
+                        {"pageNumber": page_no, "polygon": [l, t, r, t, r, b, l, b]}
+                    ]
+                cells.append(c)
+        out_tables.append({
+            "rowCount": data.get("num_rows"),
+            "columnCount": data.get("num_cols"),
+            "boundingRegions": [{"pageNumber": page_no, "polygon": poly}],
+            "cells": cells,
+        })
+
+    def _visit_picture(pic: dict) -> None:
+        poly, page_no = _azure_polygon(pic.get("prov"), pages)
+        if poly is None:
+            return
+        fig = {"boundingRegions": [{"pageNumber": page_no, "polygon": poly}]}
+        foots = []
+        for ref in pic.get("footnotes") or []:
+            m = re.match(r"^#/texts/(\d+)$", str((ref or {}).get("$ref", "")))
+            if not m or int(m.group(1)) >= len(texts):
+                continue
+            tgt = texts[int(m.group(1))]
+            f_poly, f_page = _azure_polygon(tgt.get("prov"), pages)
+            if f_poly is not None:
+                foots.append({
+                    "content": tgt.get("text") or "",
+                    "boundingRegions": [{"pageNumber": f_page, "polygon": f_poly}],
+                })
+        if foots:
+            fig["footnotes"] = foots
+        out_figures.append(fig)
+
+    groups = d.get("groups") or []
+    seen_groups: set = set()
+
+    def _visit_children(children: list) -> None:
+        # groups (lists, inline containers) emit nothing themselves — their
+        # children flatten into the traversal (azure.py:398-431)
+        for ch in children:
+            ref = str((ch or {}).get("$ref", ""))
+            m = re.match(r"^#/(texts|tables|pictures|groups)/(\d+)$", ref)
+            if not m:
+                continue
+            kind, idx = m.group(1), int(m.group(2))
+            if kind == "texts" and idx < len(texts):
+                _visit_text(texts[idx])
+            elif kind == "tables" and idx < len(tables):
+                _visit_table(tables[idx])
+            elif kind == "pictures" and idx < len(pictures):
+                _visit_picture(pictures[idx])
+            elif kind == "groups" and idx < len(groups) and idx not in seen_groups:
+                seen_groups.add(idx)  # cycle guard on malformed payloads
+                _visit_children((groups[idx] or {}).get("children") or [])
+
+    children = ((d.get("body") or {}).get("children")) or None
+    if children is not None:
+        _visit_children(children)
+    else:  # payloads without a body: texts, then tables, then pictures
+        for t in texts:
+            _visit_text(t)
+        for tb in tables:
+            _visit_table(tb)
+        for pic in pictures:
+            _visit_picture(pic)
+
+    out_pages = []
+    for page_no in sorted(int(k) for k in pages):
+        page = pages[str(page_no)] or {}
+        size = page.get("size")
+        if size is not None:
+            out_pages.append({
+                "pageNumber": page_no,
+                "width": size.get("width"),
+                "height": size.get("height"),
+                "words": [],
+            })
+    data = {
+        "pages": out_pages,
+        "tables": out_tables,
+        "figures": out_figures,
+        "paragraphs": out_paragraphs,
+    }
+    return _json.dumps(data, ensure_ascii=False, indent=indent)
+
+
+def azure_sink(df, json_col: str = "payload", indent: "int | None" = None):
+    """(doc_id, payload docling-JSON) → (doc_id, azure). Zero-shuffle
+    mapInPandas, like every other sink; per-doc payload parse + accumulator
+    fold is the serializer itself (the reference's is the same per-document
+    fold over pydantic objects)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rendered = [render_azure(p, indent) for p in pdf[json_col]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "azure": rendered})
+
+    return df.mapInPandas(gen, schema="doc_id string, azure string")
