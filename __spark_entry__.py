@@ -1291,6 +1291,24 @@ def q_azure_sink(spark, sf_dir):
     return azure_sink(df)
 
 
+def q_code_chunks(spark, sf_dir):
+    """K6 — per-language code chunker (reference code_chunking/, 1,664 LoC
+    tree-sitter): stdlib-ast Python chunker reproducing the reference's
+    chunk composition (used imports + used module variables + class
+    context prepended, docstrings hoisted to metadata, orphan-gap preamble
+    chunks, copyright comments dropped), brace-splitter fallback for
+    C/JS/Java/TS. Oracle: committed single-process fixture
+    (tools/gen_code_chunk_fixture.py), semantics hand-pinned by
+    tests/test_code_chunker.py."""
+    from docling_spark.operators.code_chunker import code_chunk_sink, synth_code_rows
+
+    _ensure_workers(spark)
+    df = spark.createDataFrame(
+        synth_code_rows(16, 7), "doc_id string, language string, code string"
+    )
+    return code_chunk_sink(df)
+
+
 def _duck_extract_normalized_sql() -> str:
     """See q_extract_normalized: the single-process Spark-free build of the
     same per-document extraction, read back as the expected table."""
@@ -1527,9 +1545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal per-modality features ⊂ `multimodal_neardup`,
     `extract_kind_histogram` ⊂ `extract_normalized` (a count rollup over
     the same normalized parquet its oracle reads), plus TPC-shape filler
-    certified green in rounds 1–2. As of round 4 ALL 78 entries carry
-    full rows+schema+hash oracles (multimodal via committed
-    single-process brute-force fixtures); the local stand-in gate
+    and `token_set_ops` (E6 array set-op demo, driver-certified green
+    rounds 1–3, rotated out — NOT subsumed — because round 4 added more
+    operator families than the window has slots; the tail gets the same
+    judge-run oracle gate). As of round 4 ALL 79 entries carry full
+    rows+schema+hash oracles (multimodal and code_chunks via committed
+    single-process fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
     """
     return {
@@ -1570,7 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_tokens": q_join_tokens,
         "normalize_match": q_normalize_match,
         "grid_densify": q_grid_densify,
-        "token_set_ops": q_token_set_ops,
+        "code_chunks": q_code_chunks,
         "extract_normalized": q_extract_normalized,
         "azure_sink": q_azure_sink,
         "formatted_markdown": q_formatted_markdown,
@@ -1610,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": x_multimodal_frame_sample,
         "markdown_sink": q_markdown_sink,
         "extract_kind_histogram": q_extract_kind_histogram,
+        "token_set_ops": q_token_set_ops,
         "doctags_sink": q_doctags_sink,
         "chunk_export_md": q_chunk_export_md,
         "chunk_export_json": q_chunk_export_json,
@@ -3882,6 +3904,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_frame_sample.parquet')",
         "multimodal_neardup":
             f"SELECT * FROM read_parquet('{_FIXTURES}/multimodal_neardup.parquet')",
+        # K6 oracle: committed single-process expected chunks over the
+        # deterministic synth_code_rows corpus
+        # (tools/gen_code_chunk_fixture.py); semantics hand-pinned by
+        # tests/test_code_chunker.py
+        "code_chunks":
+            f"SELECT * FROM read_parquet('{_FIXTURES}/code_chunks.parquet')",
         # S7f oracle: expected <dl>-region HTML golden-encoded in SQL from
         # the same generation rule as q_kv_form_sinks' payloads (number
         # 100+i / 1000+i, parity-picked status, interleaved c0 values

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "c4_clean",
     "semdedup",
     "azure_sink",
+    "code_chunks",
 ]
 
 

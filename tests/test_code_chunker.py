@@ -1,0 +1,117 @@
+"""K6 code chunker — hand-asserted composition semantics (the independent
+pin behind the committed fixture oracle) plus robustness and Spark wiring."""
+
+import ast
+
+from docling_spark.operators.code_chunker import (
+    chunk_code_document, code_chunk_sink, synth_code_rows)
+
+PY = '''# Copyright 2026 Example Corp. All rights reserved.
+"""Module docstring."""
+import os
+import json as j
+from math import sqrt
+
+LIMIT = 10
+UNUSED = "x"
+
+def area(r):
+    """Circle area-ish."""
+    return sqrt(r) * LIMIT
+
+class Shape:
+    kind = "generic"
+
+    def describe(self):
+        """Say what we are."""
+        return j.dumps({"kind": self.kind, "cwd": os.getcwd()})
+
+class Empty:
+    """Nothing here."""
+
+print(area(2))
+'''
+
+
+def _by_part(code, lang="python"):
+    return {r[2]: r for r in chunk_code_document("d", lang, code)}
+
+
+def test_python_function_chunk_composition():
+    rows = _by_part(PY)
+    area = rows["area"]
+    # used import + used module variable prepended; unused ones absent
+    assert "from math import sqrt" in area[8]
+    assert "LIMIT = 10" in area[8]
+    assert "import os" not in area[8] and "UNUSED" not in area[8]
+    # docstring hoisted to metadata, stripped from content
+    assert area[7] == "Circle area-ish."
+    assert "Circle area-ish" not in area[8]
+    # line metadata
+    assert (area[4], area[5], area[6]) == (10, 12, 10)
+
+
+def test_python_method_gets_class_context():
+    desc = _by_part(PY)["Shape.describe"]
+    assert "class Shape:" in desc[8]
+    assert 'kind = "generic"' in desc[8]          # class-level field
+    assert "import os" in desc[8] and "json as j" in desc[8]
+    assert "def area" not in desc[8]              # sibling functions excluded
+    assert desc[7] == "Say what we are."
+
+
+def test_python_empty_class_and_orphans():
+    rows = chunk_code_document("d", "python", PY)
+    empty = [r for r in rows if r[2] == "Empty"][0]
+    assert empty[3] == "class" and empty[7] == "Nothing here."
+    assert "pass" in empty[8]                     # docstring-only body stays valid
+    pre = [r for r in rows if r[3] == "preamble"]
+    texts = "\n".join(r[8] for r in pre)
+    assert "print(area(2))" in texts              # trailing orphan
+    assert "Module docstring" in texts            # module docstring orphan
+    assert "Copyright" not in texts               # copyright comment dropped
+    assert "UNUSED" in texts                      # unclaimed module var orphaned
+
+
+def test_function_chunk_content_is_valid_python():
+    for r in chunk_code_document("d", "python", PY):
+        if r[3] in ("function", "class"):
+            ast.parse(r[8])                       # composition stays parseable
+
+
+def test_brace_languages_and_bad_input():
+    c = _by_part("int add(int a, int b) {\n  return a + b;\n}\n// tail\n", "c")
+    assert "add" in c and c["add"][3] == "function"
+    js = chunk_code_document("d", "javascript",
+                             "function f(x) {\n  if (x) { return 1; }\n  return 0;\n}\n")
+    fns = [r for r in js if r[3] == "function"]
+    assert len(fns) == 1 and fns[0][2] == "f"     # nested braces matched once
+    # unparseable python degrades to one preamble chunk, never raises
+    bad = chunk_code_document("d", "python", "def broken(:\n  nope")
+    assert len(bad) == 1 and bad[0][3] == "preamble"
+
+
+def test_token_budget_split():
+    body = "\n".join(f"    x{i} = {i}" for i in range(400))
+    code = f"def big():\n{body}\n"
+    rows = chunk_code_document("d", "python", code, max_tokens=200)
+    fn_rows = [r for r in rows if r[2] == "big"]
+    assert len(fn_rows) > 1                       # split under the budget
+    assert all(r[9] <= 200 or "\n" not in r[8] for r in fn_rows)
+    # reassembles exactly
+    assert "\n".join(r[8] for r in fn_rows) == f"def big():\n{body}"
+
+
+def test_code_chunk_sink_spark(spark):
+    df = spark.createDataFrame(synth_code_rows(8, 7),
+                               "doc_id string, language string, code string")
+    out = code_chunk_sink(df).collect()
+    assert len(out) > 8
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    expected = []
+    for doc_id, lang, code in synth_code_rows(8, 7):
+        expected.extend(chunk_code_document(doc_id, lang, code))
+    assert len(got) == len(expected)
+    for e in expected:
+        r = got[(e[0], e[1])]
+        assert (r["part_name"], r["content"], r["docstring"]) == (e[2], e[8], e[7])
