@@ -169,3 +169,21 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semdedup_pairs_are_cell_equi_join(emb):
+    from docling_spark.ops.similarity import semdedup
+
+    plan = _plan(semdedup(emb, n_cells=4, dim=8, threshold=0.95))
+    # the corpus-side self-compare must be a hash equi-join on cell; the
+    # only nested-loop allowed is the broadcast of the tiny centroid table
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # centroid assign + cent_cos
+
+
+def test_c4_clean_has_no_cartesian(docs):
+    from docling_spark.ops.textstats import c4_clean
+
+    plan = _plan(c4_clean(docs))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
