@@ -40,6 +40,7 @@ from docling_spark.ops.similarity import (
     srp_signature,
 )
 from docling_spark.ops.textstats import (
+    GOPHER_STOPWORDS,
     LANG_CUES,
     curation_pipeline,
     fingerprint,
@@ -597,6 +598,14 @@ def q_shared_windows(spark, sf_dir):
     from docling_spark.ops.dedup import shared_window_pairs
 
     return shared_window_pairs(_t(spark, sf_dir, "documents"), window=20)
+
+
+def q_gopher_rules(spark, sf_dir):
+    # the Gopher A.2 quality-filter battery as per-rule booleans (tail:
+    # same curation family as the in-window quality_score/curation_e2e)
+    from docling_spark.ops.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
 
 
 def q_c4_clean(spark, sf_dir):
@@ -1637,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_export_json": q_chunk_export_json,
         "curation_pipeline": q_curation_pipeline,
         "shared_windows": q_shared_windows,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -1955,6 +1965,41 @@ def _duck_simhash_neardup_sql(bits: int = 64, max_hamming: int = 3) -> str:
           ON a.block_id = b.block_id AND a.block_val = b.block_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _duck_gopher_sql(min_words: int = 50, max_words: int = 100_000) -> str:
+    """Gopher A.2 rule battery — mirrors ops.textstats.gopher_rules."""
+    toks = P.tokens_duck("text")
+    stop_list = ",".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+        WITH s AS (SELECT doc_id, text, {toks} AS tk FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS BIGINT) AS n_words,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(tk, t -> CAST(length(t) AS BIGINT))),
+                      (acc, x) -> acc + x) AS DOUBLE)
+                   / greatest(len(tk), 1) AS mean_len,
+                 len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols,
+                 len(list_filter(tk, t -> regexp_matches(t, '[a-zA-Zá-žÁ-Ž]'))) AS n_alpha,
+                 len(list_filter(list_distinct(list_transform(tk, t -> lower(t))),
+                                 t -> t IN ({stop_list}))) AS n_stop
+          FROM s
+        )
+        SELECT doc_id, n_words,
+               CAST(floor(mean_len * 1000000) AS BIGINT) AS mean_word_len_e6,
+               (n_words >= {min_words} AND n_words <= {max_words}) AS ok_word_count,
+               (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+               (CAST(n_symbols AS DOUBLE) < 0.1 * greatest(n_words, 1)) AS ok_symbol_ratio,
+               (CAST(n_alpha AS DOUBLE) * 10 >= CAST(n_words AS DOUBLE) * 8) AS ok_alpha_words,
+               (n_stop >= 2) AS ok_stopwords,
+               ((n_words >= {min_words} AND n_words <= {max_words})
+                AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                AND (CAST(n_symbols AS DOUBLE) < 0.1 * greatest(n_words, 1))
+                AND (CAST(n_alpha AS DOUBLE) * 10 >= CAST(n_words AS DOUBLE) * 8)
+                AND (n_stop >= 2)) AS pass_gopher
+        FROM m
     """
 
 
@@ -3854,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _duck_stratified_sample_sql(),
         "c4_clean": _duck_c4_clean_sql(),
         "semdedup": _duck_semdedup_sql(),
+        "gopher_rules": _duck_gopher_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),

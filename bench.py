@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "semdedup",
     "azure_sink",
     "code_chunks",
+    "gopher_rules",
 ]
 
 

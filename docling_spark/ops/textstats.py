@@ -230,6 +230,63 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """The Gopher quality-filter rule battery (Rae et al. 2021, appendix
+    A.2 — the public MassiveWeb heuristics) as explicit per-rule booleans,
+    the auditable form a curation pipeline wants (C4-blend scoring lives in
+    quality_score; this is the rule-by-rule verdict):
+
+      ok_word_count      50 ≤ words ≤ 100,000
+      ok_mean_word_len   3 ≤ mean word length ≤ 10
+      ok_symbol_ratio    (# + …) / words < 0.1
+      ok_alpha_words     ≥ 80% of words contain a letter
+      ok_stopwords       ≥ 2 distinct Gopher stop words present
+      pass_gopher        all of the above
+
+    (The bullet/ellipsis LINE rules apply to line-structured pages; on a
+    corpus without newlines they are vacuously true and omitted. The
+    repetition thresholds — top-gram fractions — read off
+    repetition_stats, kept separate so its (doc_id, gram) shuffle isn't
+    forced on rule-only callers.)
+
+    Shape at 100 TB: one narrow projection — every rule is a regexp/array
+    fold over the row, no shuffle, fused into the scan."""
+    toks = F.expr(P.tokens_spark(text_col))
+    n_words = F.size(toks).cast("long")
+    mean_len = F.expr(
+        f"aggregate(transform({P.tokens_spark(text_col)}, t -> length(t)), "
+        f"0L, (s, x) -> s + x)"
+    ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    n_symbols = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '#|\\\\.\\\\.\\\\.|…', 0)"))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Zá-žÁ-Ž]")))
+    n_stop = F.size(F.filter(
+        F.array_distinct(F.expr(f"transform({P.tokens_spark(text_col)}, t -> lower(t))")),
+        lambda t: t.isin(*GOPHER_STOPWORDS),
+    ))
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_sym = n_symbols.cast("double") < 0.1 * F.greatest(n_words, F.lit(1)).cast("double")
+    ok_alpha = n_alpha.cast("double") * 10 >= n_words.cast("double") * 8
+    ok_stop = n_stop >= 2
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.floor(mean_len * 1_000_000).cast("long").alias("mean_word_len_e6"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("pass_gopher"),
+    )
+
+
 def c4_clean(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              min_words: int = 3, min_sentences: int = 3, span: int = 3,
              sentence_delims: str = "[.!?]", words_per_sentence: int = 12,

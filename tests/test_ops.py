@@ -816,3 +816,22 @@ def test_semdedup_keep_rule(spark):
     out2 = {r["vec_id"]: r["kept"] for r in
             semdedup(emb, n_cells=4, dim=8, threshold=0.95, seed=11).collect()}
     assert out2 == {k: v["kept"] for k, v in out.items()}
+
+
+def test_gopher_rules_battery(spark):
+    from docling_spark.ops.textstats import gopher_rules
+
+    long_ok = "the quick brown fox and that dog have gone with them today " * 5
+    docs = spark.createDataFrame([
+        (1, long_ok),                                  # passes everything
+        (2, "the of and"),                             # too few words
+        (3, " ".join(["supercalifragilistic"] * 60)),  # mean word len > 10, no stopwords
+        (4, ("# " * 30) + long_ok),                    # symbol ratio >= 0.1
+        (5, " ".join(["12345"] * 60) + " the of"),     # < 80% alphabetic words
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(docs, min_words=20).collect()}
+    assert got[1]["pass_gopher"]
+    assert not got[2]["ok_word_count"] and not got[2]["pass_gopher"]
+    assert not got[3]["ok_mean_word_len"] and not got[3]["ok_stopwords"]
+    assert not got[4]["ok_symbol_ratio"] and got[4]["ok_stopwords"]
+    assert not got[5]["ok_alpha_words"] and not got[5]["pass_gopher"]
