@@ -623,10 +623,12 @@ def q_c4_clean(spark, sf_dir):
 def q_semdedup(spark, sf_dir):
     # SemDeDup (Abbas et al. 2023): k-means-cell-confined cosine near-dup
     # removal keeping the most peripheral exemplar per duplicate group —
-    # the embedding-space counterpart of neardup_curation's keep rule
+    # the embedding-space counterpart of neardup_curation's keep rule.
+    # n_cells=32 (~156 vectors/cell at sf0.1): the paper's own scale knob —
+    # cluster count grows with the corpus so Σ|cell|² stays bounded
     from docling_spark.ops.similarity import semdedup
 
-    return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.35, n_cells=32)
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -3898,7 +3900,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _duck_substring_dedup_sql(),
         "stratified_sample": _duck_stratified_sample_sql(),
         "c4_clean": _duck_c4_clean_sql(),
-        "semdedup": _duck_semdedup_sql(),
+        "semdedup": _duck_semdedup_sql(n_cells=32),
         "gopher_rules": _duck_gopher_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),

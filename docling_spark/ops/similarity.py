@@ -666,16 +666,22 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
         assigned.join(F.broadcast(cents_df), "cell")
         .select(
             F.col(id_col), F.col("cell"), F.col("v"),
+            # per-row norm BEFORE the self-join: higher-order fns evaluate
+            # interpreted, so 3 folds/pair would dominate (the same lesson
+            # embedding_neardup_pairs documents) — 1 fold/pair instead
+            F.sqrt(_dot("v", "v")).alias("vnorm"),
             F.round(_dot("v", "c") / F.sqrt(_dot("v", "v") * _dot("c", "c")), 6)
             .alias("cent_cos"),
         )
         .localCheckpoint(eager=False)  # reused 3× below; truncate lineage
     )
-    a = base.select(F.col(id_col).alias("id_a"), "cell", F.col("v").alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), "cell", F.col("v").alias("vb"))
+    a = base.select(F.col(id_col).alias("id_a"), "cell",
+                    F.col("v").alias("va"), F.col("vnorm").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), "cell",
+                    F.col("v").alias("vb"), F.col("vnorm").alias("nb"))
     cos = F.round(
         F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (s, v) -> s + v)")
-        / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))), 6)
+        / (F.col("na") * F.col("nb")), 6)
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
