@@ -600,6 +600,20 @@ def q_shared_windows(spark, sf_dir):
     return shared_window_pairs(_t(spark, sf_dir, "documents"), window=20)
 
 
+_BM25_TERMS = ("spark", "join", "window", "table")
+
+
+def q_bm25_topk(spark, sf_dir):
+    # Okapi BM25 (Lucene idf variant) top-k over the documents table —
+    # retrieval scoring for retrieval-based decontamination / dedup triage.
+    # idf/avgdl are driver-computed literals (ln() is not IEEE
+    # correctly-rounded, so both engines consume the same doubles; the
+    # oracle derives its own df/N/avgdl INDEPENDENTLY via DuckDB)
+    from docling_spark.ops.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
 def q_gopher_rules(spark, sf_dir):
     # the Gopher A.2 quality-filter battery as per-rule booleans (tail:
     # same curation family as the in-window quality_score/curation_e2e)
@@ -1649,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "shared_windows": q_shared_windows,
         "gopher_rules": q_gopher_rules,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -1967,6 +1982,55 @@ def _duck_simhash_neardup_sql(bits: int = 64, max_hamming: int = 3) -> str:
           ON a.block_id = b.block_id AND a.block_val = b.block_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _duck_bm25_sql(terms=_BM25_TERMS, k: int = 10, k1: float = 1.2,
+                   b: float = 0.75) -> str:
+    """BM25 oracle — df/N/avgdl derived INDEPENDENTLY from the parquet via
+    DuckDB (not reused from the Spark side), idf computed by the same
+    driver-side ln() so both engines consume identical double literals
+    (the same parameter-derivation pattern as _kmeans_cents_for_oracle)."""
+    import duckdb
+
+    from docling_spark.ops.retrieval import bm25_idf
+    from docling_spark.ops.similarity import _dlit
+
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    toks = P.tokens_duck("text")
+    lt = f"list_transform({toks}, t -> lower(t))"
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN list_contains({lt}, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    row = con.sql(
+        f"SELECT count(*) AS n, sum(len({toks})) AS lsum, {df_exprs} "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    n_docs, lsum = int(row[0]), int(row[1])
+    avgdl = lsum / n_docs if n_docs else 1.0
+    idf = {t: bm25_idf(n_docs, int(row[2 + i])) for i, t in enumerate(terms)}
+    tf = lambda t: f"CAST(len(list_filter({lt}, x -> x = '{t}')) AS DOUBLE)"  # noqa: E731
+    norm = (f"({_dlit(k1)} * ({_dlit(1.0 - b)} + ({_dlit(b)} * "
+            f"CAST(len({toks}) AS DOUBLE)) / {_dlit(avgdl)}))")
+    score = "0.0e0"
+    for t in terms:
+        score = (f"({score} + ({_dlit(idf[t])} * ({tf(t)} * {_dlit(k1 + 1.0)}))"
+                 f" / ({tf(t)} + {norm}))")
+    return f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(floor(round({score}, 6) * 1000000) AS BIGINT) AS score_e6
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, score_e6,
+                 row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank
+          FROM scored WHERE score_e6 > 0
+        )
+        SELECT doc_id, score_e6, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -3902,6 +3966,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _duck_c4_clean_sql(),
         "semdedup": _duck_semdedup_sql(n_cells=32),
         "gopher_rules": _duck_gopher_sql(),
+        "bm25_topk": _duck_bm25_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "azure_sink",
     "code_chunks",
     "gopher_rules",
+    "bm25_topk",
 ]
 
 

@@ -835,3 +835,36 @@ def test_gopher_rules_battery(spark):
     assert not got[3]["ok_mean_word_len"] and not got[3]["ok_stopwords"]
     assert not got[4]["ok_symbol_ratio"] and got[4]["ok_stopwords"]
     assert not got[5]["ok_alpha_words"] and not got[5]["pass_gopher"]
+
+
+def test_bm25_topk_matches_hand_computation(spark):
+    import math
+
+    from docling_spark.ops.retrieval import bm25_idf, bm25_topk
+
+    corpus = [
+        (1, "spark join window spark spark"),
+        (2, "spark table"),
+        (3, "nothing relevant here at all"),
+        (4, "join join join join join join"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: (r["score_e6"], r["rank"])
+           for r in bm25_topk(docs, ["spark", "join"], k=3).collect()}
+    assert 3 not in got                       # no query term → filtered out
+    # hand computation (k1=1.2, b=0.75, Lucene idf)
+    N, dls = 4, {1: 5, 2: 2, 3: 5, 4: 6}
+    avgdl = sum(dls.values()) / N
+    idf = {"spark": bm25_idf(N, 2), "join": bm25_idf(N, 2)}
+    def score(doc_id, tfs):
+        s = 0.0
+        norm = 1.2 * (0.25 + 0.75 * dls[doc_id] / avgdl)
+        for t, tf in tfs.items():
+            s += idf[t] * (tf * 2.2) / (tf + norm)
+        return math.floor(round(s, 6) * 1_000_000)
+    exp = {1: score(1, {"spark": 3, "join": 1}),
+           2: score(2, {"spark": 1}),
+           4: score(4, {"join": 6})}
+    assert {d: s for d, (s, _) in got.items()} == exp
+    ranks = sorted(got.values(), key=lambda v: v[1])
+    assert [s for s, _ in ranks] == sorted((s for s, _ in ranks), reverse=True)
