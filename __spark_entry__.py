@@ -1573,9 +1573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and `token_set_ops` (E6 array set-op demo, driver-certified green
     rounds 1–3, rotated out — NOT subsumed — because round 4 added more
     operator families than the window has slots; the tail gets the same
-    judge-run oracle gate). As of round 4 ALL 79 entries carry full
-    rows+schema+hash oracles (multimodal and code_chunks via committed
-    single-process fixtures); the local stand-in gate
+    judge-run oracle gate), `gopher_rules` (rule-battery variant of the
+    in-window quality/curation family) and `bm25_topk` (retrieval
+    scoring). As of round 4 ALL 81 entries carry full rows+schema+hash
+    oracles (multimodal and code_chunks via committed single-process
+    fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
     """
     return {
