@@ -600,6 +600,17 @@ def q_shared_windows(spark, sf_dir):
     return shared_window_pairs(_t(spark, sf_dir, "documents"), window=20)
 
 
+def q_sequence_pack(spark, sf_dir):
+    # GPT-style concat-then-chunk sequence packing bookkeeping: global
+    # prefix sum via the two-phase distributed scan (range partition →
+    # local cumsum → bounded per-partition offsets), NO single-partition
+    # window anywhere; seq_len=128 so multi-sequence spans occur at sf0.01
+    from docling_spark.ops.packing import sequence_pack
+
+    return sequence_pack(_t(spark, sf_dir, "documents"), seq_len=128,
+                         sep_tokens=1, n_parts=8)
+
+
 _BM25_TERMS = ("spark", "join", "window", "table")
 
 
@@ -1575,7 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operator families than the window has slots; the tail gets the same
     judge-run oracle gate), `gopher_rules` (rule-battery variant of the
     in-window quality/curation family) and `bm25_topk` (retrieval
-    scoring). As of round 4 ALL 81 entries carry full rows+schema+hash
+    scoring) and `sequence_pack` (training-layout bookkeeping). As of
+    round 4 ALL 82 entries carry full rows+schema+hash
     oracles (multimodal and code_chunks via committed single-process
     fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
@@ -1666,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_windows": q_shared_windows,
         "gopher_rules": q_gopher_rules,
         "bm25_topk": q_bm25_topk,
+        "sequence_pack": q_sequence_pack,
     }
 
 
@@ -1984,6 +1997,34 @@ def _duck_simhash_neardup_sql(bits: int = 64, max_hamming: int = 3) -> str:
           ON a.block_id = b.block_id AND a.block_val = b.block_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _duck_sequence_pack_sql(seq_len: int = 128, sep: int = 1) -> str:
+    """Packing oracle — the same placement arithmetic over DuckDB's
+    single-node window cumsum (the distributed two-phase scan must agree
+    with the textbook prefix sum exactly)."""
+    toks = P.tokens_duck("text")
+    return f"""
+        WITH c AS (
+          SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+        ),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens + {sep}) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens - {sep} AS start_pos
+          FROM c
+        )
+        SELECT doc_id, n_tokens,
+               CAST(start_pos AS BIGINT) AS start_pos,
+               CAST(start_pos // {seq_len} AS BIGINT) AS first_seq,
+               CAST((start_pos + greatest(n_tokens, 1) - 1) // {seq_len} AS BIGINT)
+                 AS last_seq,
+               CAST((start_pos + greatest(n_tokens, 1) - 1) // {seq_len}
+                    - start_pos // {seq_len} + 1 AS BIGINT) AS n_seqs_spanned,
+               CAST(start_pos % {seq_len} AS BIGINT) AS offset_in_first
+        FROM s
     """
 
 
@@ -3969,6 +4010,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _duck_semdedup_sql(n_cells=32),
         "gopher_rules": _duck_gopher_sql(),
         "bm25_topk": _duck_bm25_sql(),
+        "sequence_pack": _duck_sequence_pack_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "code_chunks",
     "gopher_rules",
     "bm25_topk",
+    "sequence_pack",
 ]
 
 

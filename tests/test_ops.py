@@ -868,3 +868,34 @@ def test_bm25_topk_matches_hand_computation(spark):
     assert {d: s for d, (s, _) in got.items()} == exp
     ranks = sorted(got.values(), key=lambda v: v[1])
     assert [s for s, _ in ranks] == sorted((s for s, _ in ranks), reverse=True)
+
+
+def test_sequence_pack_placement_and_partition_invariance(spark):
+    from docling_spark.ops.packing import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i))) for i in range(10)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           sequence_pack(docs, seq_len=10, sep_tokens=1, n_parts=3).collect()}
+    # hand-checked placement: slots are n_tokens+1 wide, doc_id order
+    assert out[0]["start_pos"] == 0 and out[1]["start_pos"] == 4
+    assert out[2]["start_pos"] == 9 and out[2]["n_seqs_spanned"] == 2
+    assert out[3]["first_seq"] == 1 and out[3]["last_seq"] == 2
+    assert out[9]["start_pos"] == 72 and out[9]["offset_in_first"] == 2
+    # the global prefix is a pure function of (order, counts): any
+    # partition count gives bit-identical output
+    for parts in (1, 5):
+        alt = {r["doc_id"]: tuple(r) for r in
+               sequence_pack(docs, seq_len=10, sep_tokens=1, n_parts=parts).collect()}
+        assert alt == {k: tuple(v) for k, v in out.items()}
+
+
+def test_sequence_pack_no_single_partition(spark):
+    from docling_spark.ops.packing import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string")
+    plan = sequence_pack(docs, seq_len=8, n_parts=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan   # the whole point of the 2-phase scan
