@@ -71,6 +71,15 @@ def _documents(n: int) -> str:
     )
 
 
+def _embeddings(n: int) -> str:
+    from docling_spark.synth_docs import write_embeddings_parquet
+
+    return _cached(
+        "/tmp/docling_spark_scalestep_emb_{n}.parquet", n,
+        lambda p, n: write_embeddings_parquet(p, n, seed=42),
+    )
+
+
 def _timed(fn, passes: int = 2):
     """Steady-state: one untimed warm-up, then min wall over `passes`."""
     fn()
@@ -152,6 +161,55 @@ def run_level(spark, n_extract: int, n_docs: int) -> dict:
         "survivors": survivors,
         "survivor_frac": round(survivors / n_docs, 4),
     }
+
+    # round-4 additions: C4 span dedup and SemDeDup, with their own
+    # selectivity instruments
+    from docling_spark.ops.textstats import c4_clean
+
+    def c4():
+        out = c4_clean(docs).agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("survived"), 1).otherwise(0)).alias("kept"),
+            F.sum("n_dropped_dup").alias("excised"),
+        ).collect()[0]
+        return out
+
+    wall, row = _timed(c4)
+    level["c4_clean"] = {
+        "wall_sec": round(wall, 2),
+        "survived_frac": round(row["kept"] / max(row["n"], 1), 4),
+        "excised_sentences_per_doc_e3": round(1000 * row["excised"] / max(row["n"], 1)),
+    }
+
+    from docling_spark.ops.similarity import ivf_assign, semdedup
+
+    emb = spark.read.parquet(_embeddings(n_docs))
+    # the paper's scale knob: cluster count grows with the corpus so the
+    # within-cell pair budget Σ|cell|²/2 stays a constant fraction. The
+    # instrument (cell pair counts — cheap) is reported at BOTH a fixed
+    # and a scaled cell count; the dedup itself runs only on the scaled
+    # geometry — paying the quadratic wall on the known-degenerate fixed
+    # case is exactly what the instrument exists to prevent. Threshold
+    # 0.9: the planted near-dups sit at cosine ≈ 0.999, random 64-dim
+    # gaussian pairs far below.
+    for label, n_cells in (("fixed32", 32), ("scaled", max(32, n_docs // 156))):
+        cells = ivf_assign(emb, n_cells=n_cells, dim=64, seed=11) \
+            .groupBy("cell").count().collect()
+        pairs_in_cells = sum(c["count"] * (c["count"] - 1) // 2 for c in cells)
+        all_pairs = n_docs * (n_docs - 1) // 2
+        entry = {
+            "n_cells": n_cells,
+            "cell_pairs_per_doc": round(pairs_in_cells / n_docs, 1),
+            "cell_pair_ratio_e6": round(1e6 * pairs_in_cells / all_pairs),
+        }
+        if label == "scaled":
+            wall, kept = _timed(
+                lambda: semdedup(emb, n_cells=n_cells, threshold=0.9)
+                .filter("kept").count()
+            )
+            entry["wall_sec"] = round(wall, 2)
+            entry["kept_frac"] = round(kept / n_docs, 4)
+        level[f"semdedup_{label}"] = entry
     return level
 
 
@@ -205,6 +263,18 @@ def main() -> None:
                 s["curation_e2e"]["survivor_frac"],
                 b["curation_e2e"]["survivor_frac"],
             ],
+            "c4_survived_frac": [
+                s["c4_clean"]["survived_frac"],
+                b["c4_clean"]["survived_frac"],
+            ],
+            "semdedup_fixed_cell_pairs_per_doc": [
+                s["semdedup_fixed32"]["cell_pairs_per_doc"],
+                b["semdedup_fixed32"]["cell_pairs_per_doc"],
+            ],
+            "semdedup_scaled_cell_pairs_per_doc": [
+                s["semdedup_scaled"]["cell_pairs_per_doc"],
+                b["semdedup_scaled"]["cell_pairs_per_doc"],
+            ],
         }
     print(json.dumps(out))
 
@@ -232,6 +302,8 @@ def _write_history(out: dict) -> None:
         ("minhash", "minhash LSH stats + band pairs"),
         ("simhash", "simhash block stats + verified pairs"),
         ("curation_e2e", "substring removal + curation"),
+        ("c4_clean", "C4 line filters + span dedup"),
+        ("semdedup_scaled", "SemDeDup (cells scaled with N)"),
     ]:
         ws, wb = s[key]["wall_sec"], b[key]["wall_sec"]
         lines.append(f"| {label} | {ws} | {wb} | {round(wb / ws, 2)}× |")
@@ -260,6 +332,14 @@ def _write_history(out: dict) -> None:
         f"{h['simhash_k1_candidates_per_doc_e3'][1]} |",
         f"| curation survivor fraction | {h['survivor_frac'][0]} | "
         f"{h['survivor_frac'][1]} |",
+        f"| C4 survived fraction | {h['c4_survived_frac'][0]} | "
+        f"{h['c4_survived_frac'][1]} |",
+        f"| semdedup cell pairs/doc (fixed 32 cells) | "
+        f"{h['semdedup_fixed_cell_pairs_per_doc'][0]} | "
+        f"{h['semdedup_fixed_cell_pairs_per_doc'][1]} |",
+        f"| semdedup cell pairs/doc (cells ∝ N) | "
+        f"{h['semdedup_scaled_cell_pairs_per_doc'][0]} | "
+        f"{h['semdedup_scaled_cell_pairs_per_doc'][1]} |",
         "",
         "Reading: interpret per-doc candidates together with the collision "
         "ratio. Minhash: flat per-doc, ratio falling ~1/N — healthy, keep "
