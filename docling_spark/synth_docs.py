@@ -129,43 +129,6 @@ def write_embeddings_parquet(path: str, n_vecs: int, dim: int = 64,
     embedding:list<double>) for the SemDeDup scale step: unit-ish gaussian
     vectors with ~`neardup_p` planted near-duplicates (a recent vector
     plus small noise — cosine ≈ 0.99, well above any dedup threshold).
-    Chunked, O(chunk) memory."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    schema = pa.schema([
-        ("vec_id", pa.int64()),
-        ("embedding", pa.list_(pa.float64())),
-    ])
-    writer = pq.ParquetWriter(path, schema)
-    chunk = 10_000
-    try:
-        for lo in range(0, n_vecs, chunk):
-            hi = min(lo + chunk, n_vecs)
-            ids = list(range(lo, hi))
-            vecs = []
-            for i in ids:
-                rng = np.random.RandomState(seed * 1_000_003 + i)
-                if i > 10 and rng.random_sample() < neardup_p:
-                    j = i - 1 - int(rng.random_sample() * 10)
-                    src = np.random.RandomState(seed * 1_000_003 + j).randn(dim)
-                    v = src + 0.02 * rng.randn(dim)
-                else:
-                    v = rng.randn(dim)
-                vecs.append([float(x) for x in v])
-            writer.write_table(pa.table({"vec_id": ids, "embedding": vecs},
-                                        schema=schema))
-    finally:
-        writer.close()
-
-
-def write_embeddings_parquet(path: str, n_vecs: int, dim: int = 64,
-                             seed: int = 42, neardup_p: float = 0.02) -> None:
-    """Deterministic `embeddings`-table twin (vec_id:long,
-    embedding:list<double>) for the SemDeDup scale step: unit-ish gaussian
-    vectors with ~`neardup_p` planted near-duplicates (a recent vector
-    plus small noise — cosine ≈ 0.99, well above any dedup threshold).
     Chunked, O(chunk) memory; every vector is a pure function of
     (seed, index), same property as doc_row."""
     import numpy as np
@@ -183,14 +146,20 @@ def write_embeddings_parquet(path: str, n_vecs: int, dim: int = 64,
             hi = min(lo + chunk, n_vecs)
             ids = list(range(lo, hi))
             vecs = []
+
+            def base_vec(j):
+                # pure function of (seed, j): the dup branch regenerates its
+                # source exactly. The dup DECISION draws from a separate
+                # stream so it never perturbs this one.
+                return np.random.RandomState(seed * 1_000_003 + j).randn(dim)
+
             for i in ids:
-                rng = np.random.RandomState(seed * 1_000_003 + i)
-                if i > 10 and rng.random_sample() < neardup_p:
-                    j = i - 1 - int(rng.random_sample() * 10)
-                    src = np.random.RandomState(seed * 1_000_003 + j).randn(dim)
-                    v = src + 0.02 * rng.randn(dim)
+                decide = np.random.RandomState(seed * 7 + 13 * i + 1)
+                if i > 10 and decide.random_sample() < neardup_p:
+                    j = i - 1 - int(decide.random_sample() * 10)
+                    v = base_vec(j) + 0.02 * decide.randn(dim)
                 else:
-                    v = rng.randn(dim)
+                    v = base_vec(i)
                 vecs.append([float(x) for x in v])
             writer.write_table(pa.table({"vec_id": ids, "embedding": vecs},
                                         schema=schema))

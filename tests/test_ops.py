@@ -899,3 +899,28 @@ def test_sequence_pack_no_single_partition(spark):
     plan = sequence_pack(docs, seq_len=8, n_parts=4)._jdf \
         .queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan   # the whole point of the 2-phase scan
+
+
+def test_synth_embeddings_plant_neardups(tmp_path):
+    # regression: the dup branch must regenerate its source EXACTLY (the
+    # decision stream is separate from the vector stream); a state-
+    # consumption bug here silently yields a dup-free corpus and makes
+    # every dedup scale metric vacuous
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_spark.synth_docs import write_embeddings_parquet
+
+    p = str(tmp_path / "emb.parquet")
+    write_embeddings_parquet(p, 2000, seed=42)
+    V = np.array(pq.read_table(p).to_pandas()["embedding"].tolist())
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    planted = sum(
+        int((n[i] @ n[max(0, i - 11):i].T > 0.9).sum()) for i in range(11, 2000)
+    )
+    assert 20 <= planted <= 80            # ~2% of 2000, near-dup window ≤ 10 back
+    # determinism across chunk boundaries: regenerating a prefix matches
+    p2 = str(tmp_path / "emb2.parquet")
+    write_embeddings_parquet(p2, 500, seed=42)
+    V2 = np.array(pq.read_table(p2).to_pandas()["embedding"].tolist())
+    assert np.array_equal(V[:500], V2)
