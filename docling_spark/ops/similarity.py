@@ -635,7 +635,8 @@ def ann_ivfpq_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
 
 def semdedup(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
              n_cells: int = 8, dim: int = 64, threshold: float = 0.95,
-             seed: int = 11, centroids=None) -> DataFrame:
+             seed: int = 11, centroids=None,
+             assigned: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering the embedding space and removing
     within-cluster items whose pairwise cosine exceeds `threshold`,
@@ -654,14 +655,25 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     fallback), and the keep rule is one min(struct) per component — no
     global all-pairs anywhere. Cosines are rounded to 6dp before the
     threshold compare so the decision is bit-identical across engines
-    (same discipline as embedding_neardup_pairs)."""
+    (same discipline as embedding_neardup_pairs).
+
+    At scale the dominant term is the centroid ASSIGNMENT (N × n_cells
+    dot-folds — measured 14× wall at 10× data in the sf1 scale step);
+    pass `assigned` (a (id_col, cell) frame, e.g. `ivf_assign`'s output
+    or the ANN index's stored cells) to reuse an assignment the pipeline
+    already paid for."""
     from docling_spark.ops.dedup import dup_components
 
     spark = emb.sparkSession
     cents_np = centroids if centroids is not None else _centroids(n_cells, dim, seed)
     cents_df = _centroid_df(spark, cents_np)
-    assigned = _assign_cells(emb, n_cells, dim, seed, id_col, vec_col,
-                             cents=cents_df)
+    if assigned is not None:
+        assigned = emb.select(
+            F.col(id_col), _as_double(vec_col).alias("v")
+        ).join(assigned.select(id_col, "cell"), id_col)
+    else:
+        assigned = _assign_cells(emb, n_cells, dim, seed, id_col, vec_col,
+                                 cents=cents_df)
     base = (
         assigned.join(F.broadcast(cents_df), "cell")
         .select(

@@ -924,3 +924,22 @@ def test_synth_embeddings_plant_neardups(tmp_path):
     write_embeddings_parquet(p2, 500, seed=42)
     V2 = np.array(pq.read_table(p2).to_pandas()["embedding"].tolist())
     assert np.array_equal(V[:500], V2)
+
+
+def test_semdedup_reuses_external_assignment(spark):
+    from docling_spark.ops.similarity import ivf_assign, semdedup
+
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 8)
+    base[5] = base[4] + 0.01 * rng.randn(8)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    internal = {r["vec_id"]: tuple(r) for r in
+                semdedup(emb, n_cells=4, dim=8, threshold=0.95, seed=11).collect()}
+    cells = ivf_assign(emb, n_cells=4, dim=8, seed=11)
+    reused = {r["vec_id"]: tuple(r) for r in
+              semdedup(emb, n_cells=4, dim=8, threshold=0.95, seed=11,
+                       assigned=cells).collect()}
+    assert internal == reused             # same cells in = identical verdicts out
