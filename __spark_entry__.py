@@ -1587,7 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     judge-run oracle gate), `gopher_rules` (rule-battery variant of the
     in-window quality/curation family) and `bm25_topk` (retrieval
     scoring) and `sequence_pack` (training-layout bookkeeping). As of
-    round 4 ALL 82 entries carry full rows+schema+hash
+    round 4 ALL 83 entries carry full rows+schema+hash
     oracles (multimodal and code_chunks via committed single-process
     fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
@@ -1679,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "bm25_topk": q_bm25_topk,
         "sequence_pack": q_sequence_pack,
+        "c4_clean_sentences": q_c4_clean_sentences,
     }
 
 
@@ -2112,20 +2113,46 @@ def _duck_gopher_sql(min_words: int = 50, max_words: int = 100_000) -> str:
     """
 
 
+def _c4_sentence_docs():
+    """Deterministic sentence-structured docs for the real-[.!?] c4 path:
+    docs 2i and 2i+1 share a three-sentence block (the later copy excised);
+    doc 2i+1 keeps its own distinct tail."""
+    rows = []
+    for i in range(10):
+        shared = (f"alpha beta gamma {i}. delta epsilon zeta {i}. "
+                  f"eta theta iota {i}.")
+        rows.append((2 * i, f"{shared} first tail one {i}. first tail two {i}. first tail three {i}."))
+        rows.append((2 * i + 1, f"{shared} other tail one {i}. other tail two {i}. other tail three {i}."))
+    return rows
+
+
+def q_c4_clean_sentences(spark, sf_dir):
+    # the c4 operator's REAL sentence-splitting path ([.!?] terminals),
+    # oracle-checked over a deterministic inline corpus with planted
+    # cross-doc three-sentence blocks (the word-stream fallback path is
+    # the in-window c4_clean query)
+    from docling_spark.ops.textstats import c4_clean
+
+    df = spark.createDataFrame(_c4_sentence_docs(), "doc_id long, text string")
+    return c4_clean(df)
+
+
 def _duck_c4_clean_sql(words_per_sentence: int = 12, min_words: int = 3,
-                       min_sentences: int = 3, span: int = 3) -> str:
+                       min_sentences: int = 3, span: int = 3,
+                       source: str = "documents") -> str:
     """C4 cleaning oracle — mirrors ops.textstats.c4_clean term-for-term:
     policy-word doc drop, sentence segmentation (terminal-punctuation split
     or the every-k-words fallback, per document), short-sentence drop,
     dataset-level span dedup keeping the globally-first occurrence, then
-    the min-sentence doc gate."""
+    the min-sentence doc gate. `source` swaps the input relation (the
+    sentence-path query feeds an inline VALUES corpus)."""
     toks = P.tokens_duck("text")
     wh_concat = " || chr(31) || ".join(
         ["sent"] + [f"lead(sent, {i}) OVER w" for i in range(1, span)]
     )
     return f"""
         WITH base AS (
-          SELECT doc_id, text FROM documents
+          SELECT doc_id, text FROM {source}
           WHERE NOT (contains(text, 'lorem ipsum')
                      OR contains(text, 'javascript')
                      OR contains(text, '{{'))
@@ -2192,6 +2219,13 @@ def _duck_c4_clean_sql(words_per_sentence: int = 12, min_words: int = 3,
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN dropped d USING (doc_id)
     """
+
+
+def _duck_c4_sentences_sql() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in _c4_sentence_docs())
+    src = (f"(SELECT CAST(doc_id AS BIGINT) AS doc_id, text "
+           f"FROM (VALUES {rows}) AS v(doc_id, text))")
+    return _duck_c4_clean_sql(source=src)
 
 
 def _duck_semdedup_sql(threshold: float = 0.35, n_cells: int = 8,
@@ -4011,6 +4045,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _duck_gopher_sql(),
         "bm25_topk": _duck_bm25_sql(),
         "sequence_pack": _duck_sequence_pack_sql(),
+        "c4_clean_sentences": _duck_c4_sentences_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),
