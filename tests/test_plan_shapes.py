@@ -187,3 +187,12 @@ def test_c4_clean_has_no_cartesian(docs):
     plan = _plan(c4_clean(docs))
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_bm25_topk_uses_take_ordered(docs):
+    from docling_spark.ops.retrieval import bm25_topk
+
+    plan = _plan(bm25_topk(docs, ["common", "tokens"], k=5))
+    # global top-k must be TakeOrderedAndProject (per-partition heap),
+    # never a full Sort feeding a single-partition window over the corpus
+    assert "TakeOrderedAndProject" in plan
