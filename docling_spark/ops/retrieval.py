@@ -16,7 +16,7 @@ on the driver is what makes the Spark/DuckDB outputs bit-identical.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
