@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "bm25_topk",
     "sequence_pack",
+    "ann_bucketed_topk",
 ]
 
 
