@@ -943,3 +943,46 @@ def test_semdedup_reuses_external_assignment(spark):
               semdedup(emb, n_cells=4, dim=8, threshold=0.95, seed=11,
                        assigned=cells).collect()}
     assert internal == reused             # same cells in = identical verdicts out
+
+
+def test_c4_clean_dedup_invariant_randomized(spark):
+    # randomized (seeded) corpus: after cleaning, every 3-sentence window
+    # that was duplicated across the input corpus survives in AT MOST one
+    # document (C4's dataset-level guarantee), and the operator is
+    # deterministic across reruns
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"tok{i}" for i in range(30)]
+    sents = [" ".join(rng.choice(vocab) for _ in range(5)) for _ in range(40)]
+    docs = []
+    for d in range(30):
+        n = rng.randint(3, 8)
+        body = [sents[rng.randrange(len(sents))] for _ in range(n)]
+        docs.append((d, ". ".join(body) + "."))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from docling_spark.ops.textstats import c4_clean
+
+    out = c4_clean(df).collect()
+    out2 = c4_clean(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))  # deterministic
+    # count surviving occurrences of each original 3-sentence window
+    kept_windows = {}
+    for r in out:
+        if not r["survived"] or not r["clean_text"]:
+            continue
+        ss = [s for s in r["clean_text"].split(". ") if s]
+        for i in range(len(ss) - 2):
+            w = "\x1f".join(ss[i:i + 3])
+            kept_windows.setdefault(w, set()).add(r["doc_id"])
+    # original duplicated windows
+    orig = {}
+    for d, text in docs:
+        ss = [s.strip().rstrip(".") for s in text.split(". ") if s.strip()]
+        ss = [s for s in ss if len(s.split()) >= 3]
+        for i in range(len(ss) - 2):
+            w = "\x1f".join(ss[i:i + 3])
+            orig.setdefault(w, []).append(d)
+    dup_windows = {w for w, ds in orig.items() if len(ds) > 1}
+    for w in dup_windows & set(kept_windows):
+        assert len(kept_windows[w]) <= 1, f"duplicated window survived twice: {w}"
