@@ -151,3 +151,124 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    est_jaccard_min: float = 0.7,
+    state_ttl_minutes: "int | None" = None,
+):
+    """Streaming MinHash near-dup detection — the continuous-ingest form of
+    ops.dedup.minhash_band_pairs: as documents arrive, each is checked
+    against everything previously ingested that shares an LSH band, across
+    micro-batch and restart boundaries.
+
+    Mechanics: each arriving doc fans out to its (band_id, band_key) rows
+    (same geometry as the batch operator — 16 hashes, 4 bands of 4); the
+    stream is keyed by band key and `applyInPandasWithState` holds, per
+    bucket, the (doc_id, 16-value signature) list of prior members. An
+    arrival emits one row per stored member whose SIGNATURE-ESTIMATED
+    jaccard (fraction of agreeing minhash rows — the unbiased LSH
+    estimator) clears `est_jaccard_min`, then appends itself to the state.
+
+    Deliberate batch/stream difference: the batch verify join re-reads both
+    documents' shingle sets for the EXACT jaccard; a forever stream cannot
+    re-read old documents, so the streaming form verifies on the stored
+    signatures instead (estimator variance 1/√16 per pair). Downstream
+    consumers `distinct()` the (id_a, id_b) pairs — a pair colliding in two
+    bands is emitted per band, same as the batch operator pre-distinct.
+
+    State: 16×8 bytes + id per stored doc per band — ~70 bytes/doc/band.
+    For a forever stream pass `state_ttl_minutes` to evict idle buckets
+    (GroupStateTimeout.ProcessingTimeTimeout): dedup then only looks back
+    that window, the standard bounded-state trade."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from docling_spark.ops.dedup import (
+        MINHASH_BAND_SIZE, MINHASH_N_HASHES, MINHASH_SHINGLE_N)
+    from docling_spark.ops import portable as P
+
+    n_hashes, band_size = MINHASH_N_HASHES, MINHASH_BAND_SIZE
+    n_bands = n_hashes // band_size
+
+    src = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+    src = src.filter(
+        F.size(F.expr(P.tokens_spark("text"))) >= F.lit(MINHASH_SHINGLE_N)
+    )
+    sig = (
+        src.select(F.col("doc_id"), F.expr(P.tokens_spark("text")).alias("_tk"))
+        .withColumn("_sh", F.expr(P.ngrams_from_tokens_spark("_tk", MINHASH_SHINGLE_N)))
+        .withColumn("_th", F.expr(f"transform(_sh, g -> {P.token_hash_spark('g')})"))
+    )
+    for i in range(n_hashes):
+        sig = sig.withColumn(f"mh_{i}", F.expr(P.minhash_spark("_th", i)).cast("long"))
+    sig = sig.drop("_tk", "_sh", "_th")
+    band_cols = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            ":", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        )
+        band_cols.append(F.struct(
+            F.concat_ws("|", F.lit(b), key).alias("bucket"),
+        ))
+    banded = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select("doc_id", "sig", "band.bucket")
+
+    min_agree = est_jaccard_min  # fraction of the n_hashes rows
+
+    def match_bucket(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:  # idle-bucket eviction (TTL mode)
+            state.remove()
+            return
+        stored_ids, stored_sigs = ([], []) if not state.exists else (
+            list(state.get[0]), [list(s) for s in state.get[1]]
+        )
+        out_rows = []
+        arrivals = []
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                arrivals.append((int(r.doc_id), [int(x) for x in r.sig]))
+        arrivals.sort()  # deterministic within-batch order
+        for doc_id, s in arrivals:
+            for old_id, old_s in zip(stored_ids, stored_sigs):
+                if old_id == doc_id:
+                    continue
+                agree = sum(a == b for a, b in zip(s, old_s)) / len(s)
+                if agree >= min_agree:
+                    a, b = sorted((old_id, doc_id))
+                    out_rows.append((a, b, int(agree * 1_000_000)))
+            stored_ids.append(doc_id)
+            stored_sigs.append(s)
+        state.update((stored_ids, stored_sigs))
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(state_ttl_minutes * 60_000)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["id_a", "id_b", "est_jaccard_e6"])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_minutes is not None else GroupStateTimeout.NoTimeout)
+    out = banded.groupBy("bucket").applyInPandasWithState(
+        match_bucket,
+        outputStructType="id_a long, id_b long, est_jaccard_e6 long",
+        stateStructType="ids array<long>, sigs array<array<long>>",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

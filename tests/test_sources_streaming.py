@@ -580,3 +580,47 @@ def test_read_doctags_spark(spark):
         ("table_cell", "", "#/tables/0/r1c1", 5),
         ("list_item", "bod", None, 6),
     ]
+
+
+def test_stream_neardup_across_batches(spark, tmp_path):
+    """Streaming MinHash near-dup: an arriving document is matched against
+    documents ingested in EARLIER micro-batches (band-bucket state), and
+    the emitted candidate set agrees with the batch operator's band pairs
+    on the same corpus (signature-estimated verify, threshold 0)."""
+    import os
+
+    from docling_spark.ops.dedup import minhash_band_pairs
+    from docling_spark.streaming.stream_extract import stream_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows1 = [(1, base), (2, "completely different words appear here now folks"),
+             (3, "yet another unrelated document body with fresh content")]
+    rows2 = [(11, base),                                   # dup of batch-1 doc
+             (12, base.replace("dog", "cat")),             # near dup
+             (13, "nothing like anything ingested before at all")]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    df1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    df1.write.parquet(in_dir, mode="overwrite")
+    q = stream_neardup(spark, in_dir, out_dir, ckpt, est_jaccard_min=0.5)
+    q.awaitTermination(300)
+
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    df2.write.parquet(in_dir, mode="append")
+    q2 = stream_neardup(spark, in_dir, out_dir, ckpt, est_jaccard_min=0.5)
+    q2.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 11) in pairs                    # cross-batch exact dup found
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} == {2, 3} for a, b in pairs)  # unrelated stay apart
+    # the exact dup's estimated jaccard is 1.0 (identical signatures)
+    ej = {(r["id_a"], r["id_b"]): r["est_jaccard_e6"] for r in out.collect()}
+    assert ej[(1, 11)] == 1_000_000
+    # batch-operator agreement: every streaming pair is a batch band pair
+    allrows = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    batch = {(r["id_a"], r["id_b"])
+             for r in minhash_band_pairs(allrows).collect()}
+    assert pairs <= batch
