@@ -599,6 +599,39 @@ def q_shared_windows(spark, sf_dir):
     return shared_window_pairs(_t(spark, sf_dir, "documents"), window=20)
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The capstone composition — raw documents to training-sequence
+    layout in ONE declarative plan: C4 cleaning (policy/line filters +
+    dataset-level span dedup) → Gopher rule gate (corpus-tuned
+    min_words=10, min_stopwords=1 — the word-salad corpus carries only
+    'the' of the 8 stop words; per-corpus threshold tuning is what the
+    paper itself does) → eval-set decontamination (5-gram overlap vs the
+    doc_id%97 eval fold) → stratified language mixing (en 0.5 / de 0.9 /
+    rest 0.1) → GPT-style sequence packing (seq_len=128). Every stage is
+    an independently-oracled operator; this query's oracle composes their
+    SQL, so the END-TO-END dataflow — not just each stage — is
+    value-hash-checked. 500 docs → 123 survivors → 63 sequences at
+    sf0.01."""
+    from docling_spark.ops.packing import sequence_pack
+    from docling_spark.ops.textstats import (
+        c4_clean, decontaminate, gopher_rules, stratified_sample)
+
+    docs = _t(spark, sf_dir, "documents")
+    c4 = (c4_clean(docs).filter("survived")
+          .select("doc_id", F.col("clean_text").alias("text")))
+    g = (gopher_rules(c4, min_words=10, min_stopwords=1)
+         .filter("pass_gopher").select("doc_id"))
+    kept = c4.join(g, "doc_id")
+    evals = docs.filter("doc_id % 97 = 0")
+    clean_ids = (decontaminate(kept, evals, n=5, min_shared=1)
+                 .filter(~F.col("contaminated")).select("doc_id"))
+    clean = kept.join(clean_ids, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id")
+    samp = stratified_sample(
+        clean, rates={"en": 0.5, "de": 0.9}, key_col="lang", default_rate=0.1)
+    return sequence_pack(samp.select("doc_id", "text"), seq_len=128, n_parts=8)
+
+
 def q_sequence_pack(spark, sf_dir):
     # GPT-style concat-then-chunk sequence packing bookkeeping: global
     # prefix sum via the two-phase distributed scan (range partition →
@@ -1603,7 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     judge-run oracle gate), `gopher_rules` (rule-battery variant of the
     in-window quality/curation family) and `bm25_topk` (retrieval
     scoring) and `sequence_pack` (training-layout bookkeeping). As of
-    round 4 ALL 84 entries carry full rows+schema+hash
+    round 4 ALL 85 entries carry full rows+schema+hash
     oracles (multimodal and code_chunks via committed single-process
     fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
@@ -1697,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "c4_clean_sentences": q_c4_clean_sentences,
         "ann_bucketed_topk": q_ann_bucketed_topk,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -2046,6 +2080,55 @@ def _duck_sequence_pack_sql(seq_len: int = 128, sep: int = 1) -> str:
     """
 
 
+def _duck_corpus_pipeline_sql(seq_len: int = 128, n: int = 5,
+                              denom: int = 1_000_000) -> str:
+    """Capstone oracle: the per-stage SQL of c4_clean, gopher_rules,
+    decontaminate, stratified_sample and sequence_pack composed — the same
+    five-gate dataflow as q_corpus_pipeline, end-to-end."""
+    gh = f"list_transform({P.ngrams_duck('text', n)}, g -> {P.token_hash_duck('g')})"
+    bucket = (f"((((CAST(doc_id AS BIGINT) % {P.MOD} + {P.MOD}) % {P.MOD})"
+              f" * {P._MIX}) % {P.MOD}) % {denom}")
+    c4sql = _duck_c4_clean_sql()
+    gophersql = _duck_gopher_sql(min_words=10, min_stopwords=1, source="c4")
+    return f"""
+        WITH c4 AS (
+          SELECT doc_id, clean_text AS text FROM ({c4sql}) WHERE survived
+        ),
+        g AS (SELECT doc_id FROM ({gophersql}) WHERE pass_gopher),
+        kept AS (SELECT c4.doc_id, c4.text FROM c4 JOIN g USING (doc_id)),
+        ev AS (SELECT DISTINCT gh FROM (
+                 SELECT unnest({gh}) AS gh FROM documents WHERE doc_id % 97 = 0)),
+        cg AS (SELECT doc_id, unnest({gh}) AS gh FROM kept),
+        contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (gh)),
+        clean AS (SELECT k.* FROM kept k
+                  WHERE k.doc_id NOT IN (SELECT doc_id FROM contam)),
+        samp AS (
+          SELECT c.doc_id, c.text FROM clean c JOIN documents d USING (doc_id)
+          WHERE {bucket} < CASE WHEN d.lang = 'en' THEN 500000
+                                WHEN d.lang = 'de' THEN 900000
+                                ELSE 100000 END
+        ),
+        counted AS (SELECT doc_id,
+                           CAST(len({P.tokens_duck('text')}) AS BIGINT) AS n_tokens
+                    FROM samp),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens + 1) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens - 1 AS start_pos
+          FROM counted
+        )
+        SELECT doc_id, n_tokens, CAST(start_pos AS BIGINT) AS start_pos,
+               CAST(start_pos // {seq_len} AS BIGINT) AS first_seq,
+               CAST((start_pos + greatest(n_tokens, 1) - 1) // {seq_len} AS BIGINT)
+                 AS last_seq,
+               CAST((start_pos + greatest(n_tokens, 1) - 1) // {seq_len}
+                    - start_pos // {seq_len} + 1 AS BIGINT) AS n_seqs_spanned,
+               CAST(start_pos % {seq_len} AS BIGINT) AS offset_in_first
+        FROM s
+    """
+
+
 def _duck_bm25_sql(terms=_BM25_TERMS, k: int = 10, k1: float = 1.2,
                    b: float = 0.75) -> str:
     """BM25 oracle — df/N/avgdl derived INDEPENDENTLY from the parquet via
@@ -2095,12 +2178,13 @@ def _duck_bm25_sql(terms=_BM25_TERMS, k: int = 10, k1: float = 1.2,
     """
 
 
-def _duck_gopher_sql(min_words: int = 50, max_words: int = 100_000) -> str:
+def _duck_gopher_sql(min_words: int = 50, max_words: int = 100_000,
+                     min_stopwords: int = 2, source: str = "documents") -> str:
     """Gopher A.2 rule battery — mirrors ops.textstats.gopher_rules."""
     toks = P.tokens_duck("text")
     stop_list = ",".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     return f"""
-        WITH s AS (SELECT doc_id, text, {toks} AS tk FROM documents),
+        WITH s AS (SELECT doc_id, text, {toks} AS tk FROM {source}),
         m AS (
           SELECT doc_id,
                  CAST(len(tk) AS BIGINT) AS n_words,
@@ -2120,12 +2204,12 @@ def _duck_gopher_sql(min_words: int = 50, max_words: int = 100_000) -> str:
                (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
                (CAST(n_symbols AS DOUBLE) < 0.1 * greatest(n_words, 1)) AS ok_symbol_ratio,
                (CAST(n_alpha AS DOUBLE) * 10 >= CAST(n_words AS DOUBLE) * 8) AS ok_alpha_words,
-               (n_stop >= 2) AS ok_stopwords,
+               (n_stop >= {min_stopwords}) AS ok_stopwords,
                ((n_words >= {min_words} AND n_words <= {max_words})
                 AND (mean_len >= 3.0 AND mean_len <= 10.0)
                 AND (CAST(n_symbols AS DOUBLE) < 0.1 * greatest(n_words, 1))
                 AND (CAST(n_alpha AS DOUBLE) * 10 >= CAST(n_words AS DOUBLE) * 8)
-                AND (n_stop >= 2)) AS pass_gopher
+                AND (n_stop >= {min_stopwords})) AS pass_gopher
         FROM m
     """
 
@@ -4094,6 +4178,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": _duck_sequence_pack_sql(),
         "c4_clean_sentences": _duck_c4_sentences_sql(),
         "ann_bucketed_topk": _duck_bucketed_topk_sql(),
+        "corpus_pipeline": _duck_corpus_pipeline_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
         "simhash_neardup": _duck_simhash_neardup_sql(),

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "sequence_pack",
     "ann_bucketed_topk",
+    "corpus_pipeline",
 ]
 
 

