@@ -132,7 +132,7 @@ def _chunk_rows_python(code: str) -> List[tuple]:
     lines = code.split("\n")
     try:
         tree = ast.parse(code)
-    except SyntaxError:
+    except (SyntaxError, ValueError, MemoryError, RecursionError):
         # unparseable payloads degrade to one whole-file preamble chunk,
         # never a job failure
         return [("", "preamble", 1, len(lines), 1, "", code)]

@@ -1015,23 +1015,37 @@ _AZURE_ROLE = {
 }
 
 
-def _azure_polygon(prov: "list | None", pages: dict) -> "tuple[list | None, int]":
+def _az_dict(x) -> dict:
+    """Malformed payloads degrade per-item, never fail the task."""
+    return x if isinstance(x, dict) else {}
+
+
+def _az_list(x) -> list:
+    return x if isinstance(x, list) else []
+
+
+def _azure_polygon(prov, pages: dict) -> "tuple[list | None, int]":
     """First-provenance polygon [l,t, r,t, r,b, l,b], normalized to TOPLEFT
     origin when the page size is known (azure.py:77-100 + the reference
     BoundingBox.to_top_left_origin: t'=h-t, b'=h-b). Returns (polygon,
     page_no); polygon None when the item carries no usable bbox — the
     caller then SKIPS the item, exactly the reference's gating."""
+    prov = _az_list(prov)
     if not prov:
         return None, 1
-    p = prov[0] or {}
+    p = _az_dict(prov[0])
     page_no = p.get("page_no", 1)
-    bbox = p.get("bbox") or {}
+    if not isinstance(page_no, int):
+        page_no = 1
+    bbox = _az_dict(p.get("bbox"))
     l, t, r, b = (bbox.get(k) for k in ("l", "t", "r", "b"))
-    if None in (l, t, r, b):
+    if any(not isinstance(x, (int, float)) or isinstance(x, bool)
+           for x in (l, t, r, b)):
         return None, page_no
-    size = (pages.get(str(page_no)) or {}).get("size")
-    if size and str(bbox.get("coord_origin", "TOPLEFT")).upper() != "TOPLEFT":
-        h = size["height"]
+    size = _az_dict(_az_dict(pages.get(str(page_no))).get("size"))
+    h = size.get("height")
+    if isinstance(h, (int, float)) and not isinstance(h, bool) \
+            and str(bbox.get("coord_origin", "TOPLEFT")).upper() != "TOPLEFT":
         t, b = h - t, h - b
     return [l, t, r, t, r, b, l, b], page_no
 
@@ -1047,19 +1061,21 @@ def render_azure(payload: str, indent: "int | None" = None) -> str:
     json.dumps(ensure_ascii=False, indent=indent) byte-for-byte."""
     import json as _json
 
-    d = _json.loads(payload) if isinstance(payload, str) else payload
-    pages = d.get("pages") or {}
-    texts = d.get("texts") or []
-    tables = d.get("tables") or []
-    pictures = d.get("pictures") or []
+    d = _az_dict(_json.loads(payload) if isinstance(payload, str) else payload)
+    pages = _az_dict(d.get("pages"))
+    texts = _az_list(d.get("texts"))
+    tables = _az_list(d.get("tables"))
+    pictures = _az_list(d.get("pictures"))
 
     out_tables: list = []
     out_figures: list = []
     out_paragraphs: list = []
 
     def _text_paragraph(t: dict) -> "dict | None":
+        t = _az_dict(t)
         poly, page_no = _azure_polygon(t.get("prov"), pages)
-        content = t.get("text") or ""
+        content = t.get("text")
+        content = content if isinstance(content, str) else ""
         if content == "" and poly is not None:
             return None
         if poly is None:
@@ -1079,21 +1095,24 @@ def render_azure(payload: str, indent: "int | None" = None) -> str:
             out_paragraphs.append(para)
 
     def _visit_table(tb: dict) -> None:
+        tb = _az_dict(tb)
         poly, page_no = _azure_polygon(tb.get("prov"), pages)
         if poly is None:
             return
-        data = tb.get("data") or {}
-        grid = data.get("grid") or []
+        data = _az_dict(tb.get("data"))
+        grid = _az_list(data.get("grid"))
         cells = []
         for i, row in enumerate(grid):
-            for j, cell in enumerate(row or []):
+            for j, cell in enumerate(_az_list(row)):
+                cell = cell if isinstance(cell, dict) else None
                 if cell is None:
                     continue
                 if (i != cell.get("start_row_offset_idx")
                         or j != cell.get("start_col_offset_idx")):
                     continue  # spanning cells materialize once, at the anchor
+                ctext = cell.get("text")
                 c = {
-                    "content": (cell.get("text") or "").strip(),
+                    "content": (ctext if isinstance(ctext, str) else "").strip(),
                     "rowIndex": cell.get("start_row_offset_idx"),
                     "columnIndex": cell.get("start_col_offset_idx"),
                     "rowSpan": max(cell.get("row_span") or 1, 1),
@@ -1103,12 +1122,15 @@ def render_azure(payload: str, indent: "int | None" = None) -> str:
                         else ("rowHeader" if cell.get("row_header") else None))
                 if kind is not None:
                     c["kind"] = kind
-                cb = cell.get("bbox") or {}
-                if all(cb.get(k) is not None for k in ("l", "t", "r", "b")):
+                cb = _az_dict(cell.get("bbox"))
+                if all(isinstance(cb.get(k), (int, float))
+                       and not isinstance(cb.get(k), bool)
+                       for k in ("l", "t", "r", "b")):
                     l, t, r, b = (cb.get(k) for k in ("l", "t", "r", "b"))
-                    size = (pages.get(str(page_no)) or {}).get("size")
-                    if size and str(cb.get("coord_origin", "TOPLEFT")).upper() != "TOPLEFT":
-                        h = size["height"]
+                    size = _az_dict(_az_dict(pages.get(str(page_no))).get("size"))
+                    h = size.get("height")
+                    if isinstance(h, (int, float)) and not isinstance(h, bool) \
+                            and str(cb.get("coord_origin", "TOPLEFT")).upper() != "TOPLEFT":
                         t, b = h - t, h - b
                     c["boundingRegions"] = [
                         {"pageNumber": page_no, "polygon": [l, t, r, t, r, b, l, b]}
@@ -1122,34 +1144,36 @@ def render_azure(payload: str, indent: "int | None" = None) -> str:
         })
 
     def _visit_picture(pic: dict) -> None:
+        pic = _az_dict(pic)
         poly, page_no = _azure_polygon(pic.get("prov"), pages)
         if poly is None:
             return
         fig = {"boundingRegions": [{"pageNumber": page_no, "polygon": poly}]}
         foots = []
-        for ref in pic.get("footnotes") or []:
-            m = re.match(r"^#/texts/(\d+)$", str((ref or {}).get("$ref", "")))
+        for ref in _az_list(pic.get("footnotes")):
+            m = re.match(r"^#/texts/(\d+)$", str(_az_dict(ref).get("$ref", "")))
             if not m or int(m.group(1)) >= len(texts):
                 continue
-            tgt = texts[int(m.group(1))]
+            tgt = _az_dict(texts[int(m.group(1))])
             f_poly, f_page = _azure_polygon(tgt.get("prov"), pages)
             if f_poly is not None:
+                f_text = tgt.get("text")
                 foots.append({
-                    "content": tgt.get("text") or "",
+                    "content": f_text if isinstance(f_text, str) else "",
                     "boundingRegions": [{"pageNumber": f_page, "polygon": f_poly}],
                 })
         if foots:
             fig["footnotes"] = foots
         out_figures.append(fig)
 
-    groups = d.get("groups") or []
+    groups = _az_list(d.get("groups"))
     seen_groups: set = set()
 
     def _visit_children(children: list) -> None:
         # groups (lists, inline containers) emit nothing themselves — their
         # children flatten into the traversal (azure.py:398-431)
-        for ch in children:
-            ref = str((ch or {}).get("$ref", ""))
+        for ch in _az_list(children):
+            ref = str(_az_dict(ch).get("$ref", ""))
             m = re.match(r"^#/(texts|tables|pictures|groups)/(\d+)$", ref)
             if not m:
                 continue
@@ -1162,9 +1186,10 @@ def render_azure(payload: str, indent: "int | None" = None) -> str:
                 _visit_picture(pictures[idx])
             elif kind == "groups" and idx < len(groups) and idx not in seen_groups:
                 seen_groups.add(idx)  # cycle guard on malformed payloads
-                _visit_children((groups[idx] or {}).get("children") or [])
+                _visit_children(_az_list(_az_dict(groups[idx]).get("children")))
 
-    children = ((d.get("body") or {}).get("children")) or None
+    children = _az_dict(d.get("body")).get("children")
+    children = children if isinstance(children, list) else None
     if children is not None:
         _visit_children(children)
     else:  # payloads without a body: texts, then tables, then pictures
@@ -1176,10 +1201,10 @@ def render_azure(payload: str, indent: "int | None" = None) -> str:
             _visit_picture(pic)
 
     out_pages = []
-    for page_no in sorted(int(k) for k in pages):
-        page = pages[str(page_no)] or {}
-        size = page.get("size")
-        if size is not None:
+    page_nos = sorted(int(k) for k in pages if str(k).lstrip("-").isdigit())
+    for page_no in page_nos:
+        size = _az_dict(pages.get(str(page_no))).get("size")
+        if isinstance(size, dict):
             out_pages.append({
                 "pageNumber": page_no,
                 "width": size.get("width"),

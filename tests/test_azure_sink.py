@@ -112,3 +112,40 @@ def test_azure_sink_spark(core, spark):
         parsed = json.loads(out[f"az-{s}"])
         assert parsed["tables"][0]["cells"][0]["kind"] == "columnHeader"
         assert parsed["figures"][0]["footnotes"][0]["content"] == f"Pozn. {s}"
+
+
+def test_render_azure_never_raises_fuzz():
+    """Adversarial docling-JSON payloads — missing keys, nulls, wrong
+    types, dangling refs, group cycles — must render to valid four-key
+    JSON, never raise (per-doc robustness is what keeps a 100 TB job from
+    dying on one malformed document)."""
+    import json
+    import random
+
+    from docling_spark.operators.serialize import render_azure
+
+    rng = random.Random(11)
+
+    def junk(depth=0):
+        r = rng.random()
+        if depth > 3 or r < 0.25:
+            return rng.choice([None, "", "x", 1, 1.5, True, "#/texts/0", "#/groups/0"])
+        if r < 0.5:
+            return [junk(depth + 1) for _ in range(rng.randint(0, 3))]
+        keys = ["$ref", "text", "label", "prov", "page_no", "bbox", "l", "t",
+                "r", "b", "coord_origin", "data", "grid", "children",
+                "footnotes", "size", "width", "height"]
+        return {rng.choice(keys): junk(depth + 1) for _ in range(rng.randint(0, 4))}
+
+    for i in range(200):
+        payload = {
+            "pages": junk(), "texts": junk(), "tables": junk(),
+            "pictures": junk(), "groups": junk(), "body": junk(),
+        }
+        out = render_azure(json.dumps(payload))
+        parsed = json.loads(out)
+        assert set(parsed) == {"pages", "tables", "figures", "paragraphs"}
+    # group self-cycle must terminate
+    cyc = {"groups": [{"children": [{"$ref": "#/groups/0"}]}],
+           "body": {"children": [{"$ref": "#/groups/0"}]}}
+    json.loads(render_azure(json.dumps(cyc)))

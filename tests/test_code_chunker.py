@@ -115,3 +115,22 @@ def test_code_chunk_sink_spark(spark):
     for e in expected:
         r = got[(e[0], e[1])]
         assert (r["part_name"], r["content"], r["docstring"]) == (e[2], e[8], e[7])
+
+
+def test_chunker_never_raises_fuzz():
+    # arbitrary garbage — including null bytes, lone surrogpark escapes,
+    # deep nesting — must degrade to chunks, never a task failure
+    import random
+
+    rng = random.Random(5)
+    alphabet = "def class(){}:=\n\t '\"#\x00abc123+-*/@\\"
+    for lang in ("python", "c", "javascript"):
+        for _ in range(150):
+            code = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200)))
+            rows = chunk_code_document("d", lang, code)
+            # every content line comes from somewhere; schema width holds
+            for r in rows:
+                assert len(r) == 10
+    # pathological deep nesting (ast recursion guard path)
+    deep = "(" * 300 + ")" * 300
+    assert chunk_code_document("d", "python", deep)[0][3] == "preamble"
