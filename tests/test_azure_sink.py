@@ -149,3 +149,35 @@ def test_render_azure_never_raises_fuzz():
     cyc = {"groups": [{"children": [{"$ref": "#/groups/0"}]}],
            "body": {"children": [{"$ref": "#/groups/0"}]}}
     json.loads(render_azure(json.dumps(cyc)))
+
+
+def test_render_azure_multipage_and_missing_size(core):
+    """Page-2 normalization uses page 2's height; a page registered
+    without a size is omitted from pages[] and its BOTTOMLEFT items keep
+    raw coordinates (the reference normalizes only when size is known)."""
+    import json
+
+    from docling_spark.operators.serialize import render_azure
+
+    doc = core["Doc"](name="mp")
+    doc.add_page(page_no=1, size=core["Size"](width=600.0, height=800.0))
+    doc.add_page(page_no=2, size=core["Size"](width=600.0, height=400.0))
+    doc.add_title(text="T", prov=_prov(core, page=1))
+    doc.add_text(label=core["Label"].TEXT, text="p2 body",
+                 prov=_prov(core, page=2, t=300.0, b=280.0,
+                            origin=core["Origin"].BOTTOMLEFT))
+    # page 3 exists only as an item's provenance — not registered at all
+    doc.add_text(label=core["Label"].TEXT, text="p3 body",
+                 prov=_prov(core, page=3, t=50.0, b=30.0,
+                            origin=core["Origin"].BOTTOMLEFT))
+    ref = core["Ser"](doc=doc, params=core["Params"]()).serialize().text
+    ours = render_azure(json.dumps(doc.export_to_dict()))
+    assert ours == ref
+    parsed = json.loads(ours)
+    assert [p["pageNumber"] for p in parsed["pages"]] == [1, 2]
+    # page-2 normalization: t' = 400 − 300 = 100
+    p2 = [p for p in parsed["paragraphs"] if p["content"] == "p2 body"][0]
+    assert p2["boundingRegions"][0]["polygon"][1] == 100.0
+    # unregistered page: raw coordinates pass through
+    p3 = [p for p in parsed["paragraphs"] if p["content"] == "p3 body"][0]
+    assert p3["boundingRegions"][0]["polygon"][1] == 50.0

@@ -134,3 +134,19 @@ def test_chunker_never_raises_fuzz():
     # pathological deep nesting (ast recursion guard path)
     deep = "(" * 300 + ")" * 300
     assert chunk_code_document("d", "python", deep)[0][3] == "preamble"
+
+
+def test_java_brace_chunker():
+    java = (
+        "import java.util.List;\n\n"
+        "public class Calc {\n"
+        "    public static int add(int a, int b) {\n"
+        "        if (a > 0) { return a + b; }\n"
+        "        return b;\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = chunk_code_document("d", "java", java)
+    fns = {r[2]: r for r in rows if r[3] == "function"}
+    assert "add" in fns
+    assert "return a + b" in fns["add"][8]
