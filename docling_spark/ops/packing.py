@@ -96,18 +96,26 @@ def sequence_pack(docs: DataFrame, seq_len: int = 2048, sep_tokens: int = 1,
     ))
 
     start = F.col("base") + F.col("local_cum") - F.col("n_tokens") - F.lit(sep_tokens)
-    first_seq = F.floor(start / seq_len).cast("long")
+    # sequence indices via integer DIV, not floor(double /): IEEE division
+    # loses exactness above 2^53 token offsets, which a 10^12-doc packed
+    # stream actually reaches; DIV stays exact over the full long range.
     last_token = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
-    last_seq = F.floor(last_token / seq_len).cast("long")
     return (
         scanned.join(off_df, "part_key")
         .select(
             "doc_id",
             "n_tokens",
             start.alias("start_pos"),
-            first_seq.alias("first_seq"),
-            last_seq.alias("last_seq"),
-            (last_seq - first_seq + 1).alias("n_seqs_spanned"),
-            (start % seq_len).cast("long").alias("offset_in_first"),
+            last_token.alias("_last_token"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_pos",
+            F.expr(f"start_pos DIV {seq_len}").cast("long").alias("first_seq"),
+            F.expr(f"_last_token DIV {seq_len}").cast("long").alias("last_seq"),
+            (F.expr(f"_last_token DIV {seq_len}") - F.expr(f"start_pos DIV {seq_len}") + 1)
+            .cast("long").alias("n_seqs_spanned"),
+            (F.col("start_pos") % seq_len).cast("long").alias("offset_in_first"),
         )
     )

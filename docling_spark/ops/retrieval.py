@@ -29,10 +29,12 @@ def term_dfs(docs: DataFrame, terms: Sequence[str], id_col: str = "doc_id",
     whitespace tokens). One aggregate row per term — a bounded driver
     collect (|terms| values), the BM25 analog of the bounded k-means
     sample."""
-    toks = f"transform({P.tokens_spark(text_col)}, t -> lower(t))"
+    # terms go through F.lit, never string interpolation — a term with a
+    # quote must be a literal, not a syntax error / injection vector
+    toks = F.transform(F.expr(P.tokens_spark(text_col)), lambda t: F.lower(t))
     aggs = [
         F.sum(
-            F.when(F.expr(f"array_contains({toks}, '{t}')"), 1).otherwise(0)
+            F.when(F.array_contains(toks, F.lit(t)), 1).otherwise(0)
         ).cast("long").alias(f"df_{i}")
         for i, t in enumerate(terms)
     ]
@@ -72,12 +74,18 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 10,
     if idf is None:
         idf = {t: bm25_idf(n_docs, d) for t, d in term_dfs(docs, terms, id_col, text_col).items()}
 
-    toks = f"transform({P.tokens_spark(text_col)}, t -> lower(t))"
+    toks = F.transform(F.expr(P.tokens_spark(text_col)), lambda t: F.lower(t))
     dl = F.size(F.expr(P.tokens_spark(text_col))).cast("double")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl)))
     score = F.lit(0.0)
+    def _eq_term(term):
+        # term comparison via F.lit — quote-safe (no SQL-string
+        # interpolation). NB: must be a 1-arg lambda — a second defaulted
+        # param would make F.filter pass the array INDEX into it.
+        return lambda x: x == F.lit(term)
+
     for t in terms:
-        tf = F.size(F.expr(f"filter({toks}, x -> x = '{t}')")).cast("double")
+        tf = F.size(F.filter(toks, _eq_term(t))).cast("double")
         score = score + F.lit(float(idf[t])) * (tf * (k1 + 1.0)) / (tf + norm)
     from pyspark.sql.window import Window
 
@@ -89,7 +97,15 @@ def bm25_topk(docs: DataFrame, terms: Sequence[str], k: int = 10,
     # top-k then a k-row merge on the driver, never a global sort or a
     # single-partition window exchange; the rank window then runs on ≤k rows
     topk = scored.orderBy(F.col("score_e6").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("score_e6").desc(), F.col(id_col).asc())
+    # constant-valued but NON-FOLDABLE partition key — same single
+    # partition (fine: the input is ≤k rows post-limit) but silences
+    # Spark's "No Partition Defined for Window" WARN. A plain lit(0) does
+    # NOT work: Catalyst prunes foldable partition expressions and the
+    # spec reverts to empty (verified — 3 WARNs/run). score_e6 * 0 stays
+    # in the spec because multiply-by-zero is not constant-folded
+    # (null-propagation makes it unsafe in general).
+    w = Window.partitionBy(F.col("score_e6") * F.lit(0)).orderBy(
+        F.col("score_e6").desc(), F.col(id_col).asc())
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select(id_col, "score_e6", F.col("rank").cast("long").alias("rank"))

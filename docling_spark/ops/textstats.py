@@ -259,18 +259,22 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
     forced on rule-only callers.)
 
     Shape at 100 TB: one narrow projection — every rule is a regexp/array
-    fold over the row, no shuffle, fused into the scan."""
-    toks = F.expr(P.tokens_spark(text_col))
+    fold over the row, no shuffle, fused into the scan. The token array is
+    materialized ONCE (`_tk`) before the rule columns: Spark does no CSE
+    inside higher-order functions, so inlining `tokens_spark` into each of
+    the five rules would re-run the regexp split 5× per document (the
+    exact trap ops/dedup.py:55 documents for minhash)."""
+    docs = docs.withColumn("_tk", F.expr(P.tokens_spark(text_col)))
+    toks = F.col("_tk")
     n_words = F.size(toks).cast("long")
     mean_len = F.expr(
-        f"aggregate(transform({P.tokens_spark(text_col)}, t -> length(t)), "
-        f"0L, (s, x) -> s + x)"
+        "aggregate(transform(_tk, t -> length(t)), 0L, (s, x) -> s + x)"
     ).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
     n_symbols = F.size(F.expr(
         f"regexp_extract_all({text_col}, '#|\\\\.\\\\.\\\\.|…', 0)"))
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Zá-žÁ-Ž]")))
     n_stop = F.size(F.filter(
-        F.array_distinct(F.expr(f"transform({P.tokens_spark(text_col)}, t -> lower(t))")),
+        F.array_distinct(F.transform(toks, lambda t: F.lower(t))),
         lambda t: t.isin(*GOPHER_STOPWORDS),
     ))
     ok_wc = (n_words >= min_words) & (n_words <= max_words)

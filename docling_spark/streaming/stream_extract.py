@@ -160,7 +160,8 @@ def stream_neardup(
     checkpoint_dir: str,
     available_now: bool = True,
     est_jaccard_min: float = 0.7,
-    state_ttl_minutes: "int | None" = None,
+    state_ttl_minutes: "int | None" = 60,
+    max_bucket_size: "int | None" = 256,
 ):
     """Streaming MinHash near-dup detection — the continuous-ingest form of
     ops.dedup.minhash_band_pairs: as documents arrive, each is checked
@@ -183,9 +184,20 @@ def stream_neardup(
     bands is emitted per band, same as the batch operator pre-distinct.
 
     State: 16×8 bytes + id per stored doc per band — ~70 bytes/doc/band.
-    For a forever stream pass `state_ttl_minutes` to evict idle buckets
-    (GroupStateTimeout.ProcessingTimeTimeout): dedup then only looks back
-    that window, the standard bounded-state trade."""
+    State is bounded BY DEFAULT, on two axes (a forever stream must not
+    grow state without bound):
+      * `state_ttl_minutes` (default 60) evicts idle buckets wholesale
+        (GroupStateTimeout.ProcessingTimeTimeout) — dedup then only looks
+        back that window, the standard bounded-state trade. Pass None to
+        keep buckets forever (finite replays / tests).
+      * `max_bucket_size` (default 256) FIFO-caps each bucket's member
+        list — a hot bucket (boilerplate-heavy corpora collapse many docs
+        into one band key) sheds its OLDEST members first, so recent-vs-
+        recent comparisons, the ones a streaming dedup is for, survive.
+        Pass None to disable.
+    Evicted-entry count is surfaced as a Spark accumulator on the returned
+    query object (`q.neardup_evictions.value`), the operator's health
+    metric: a climbing value means the corpus is hotter than the cap."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -224,6 +236,7 @@ def stream_neardup(
     ).select("doc_id", "sig", "band.bucket")
 
     min_agree = est_jaccard_min  # fraction of the n_hashes rows
+    eviction_acc = spark.sparkContext.accumulator(0)
 
     def match_bucket(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:  # idle-bucket eviction (TTL mode)
@@ -239,15 +252,27 @@ def stream_neardup(
                 arrivals.append((int(r.doc_id), [int(x) for x in r.sig]))
         arrivals.sort()  # deterministic within-batch order
         for doc_id, s in arrivals:
-            for old_id, old_s in zip(stored_ids, stored_sigs):
+            seen_before = False
+            for idx, (old_id, old_s) in enumerate(zip(stored_ids, stored_sigs)):
                 if old_id == doc_id:
+                    # reprocessed arrival: refresh the stored signature in
+                    # place — never append a second copy, or replayed
+                    # inputs grow state per bucket without bound
+                    stored_sigs[idx] = s
+                    seen_before = True
                     continue
                 agree = sum(a == b for a, b in zip(s, old_s)) / len(s)
                 if agree >= min_agree:
                     a, b = sorted((old_id, doc_id))
                     out_rows.append((a, b, int(agree * 1_000_000)))
-            stored_ids.append(doc_id)
-            stored_sigs.append(s)
+            if not seen_before:
+                stored_ids.append(doc_id)
+                stored_sigs.append(s)
+        if max_bucket_size is not None and len(stored_ids) > max_bucket_size:
+            n_evict = len(stored_ids) - max_bucket_size
+            stored_ids = stored_ids[n_evict:]   # FIFO: oldest out first
+            stored_sigs = stored_sigs[n_evict:]
+            eviction_acc.add(n_evict)
         state.update((stored_ids, stored_sigs))
         if state_ttl_minutes is not None:
             state.setTimeoutDuration(state_ttl_minutes * 60_000)
@@ -271,4 +296,6 @@ def stream_neardup(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    q = writer.start()
+    q.neardup_evictions = eviction_acc  # health metric: entries FIFO-shed
+    return q
