@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "doctags_roundtrip",
     "c4_clean",
     "semdedup",
+    "semdedup_reuse",
     "azure_sink",
     "code_chunks",
     "gopher_rules",

@@ -191,18 +191,115 @@ def _centroid_df(spark, cents: np.ndarray) -> DataFrame:
     return spark.createDataFrame(rows, "cell long, c array<double>")
 
 
+# fine-codebook size at which top-1 assignment switches to the two-level
+# coarse→children walk; below it the flat argmax is both cheaper and simpler
+HIER_MIN_CELLS = 16
+
+
+def group_centroids(cents: np.ndarray, n_coarse: "int | None" = None,
+                    metric: str = "dot", iters: int = 10,
+                    seed: int = 0) -> "tuple[np.ndarray, np.ndarray]":
+    """Driver-side second quantizer level: cluster the FINE centroids
+    themselves into ~√n_cells coarse groups (same deterministic Lloyd
+    loops as the fine training — spherical for dot, plain for L2), then
+    deterministically parent every fine cell to its nearest coarse
+    centroid (np.argmax/argmin → lowest index on ties). Coarse groups
+    that end up with no children are dropped and the survivors re-labeled
+    densely in ascending original order, so a vector can never be routed
+    to an empty group.
+
+    Returns (coarse[g, dim], child_of[n_cells] → dense group id). Both
+    engines import this one function, so the tree is a shared query
+    parameter exactly like the centroids themselves.
+
+    Why: flat top-1 assignment is N × n_cells dot products — the one
+    super-linear term at corpus scale, where SemDeDup/IVF grow n_cells ∝ N
+    to keep cell populations bounded (measured 14.4× wall at 10× data).
+    The two-level walk costs N × (√C + C/√C) = 2N√C — the standard
+    IMI / IVF-tree shape (Babenko & Lempitsky, CVPR'12)."""
+    C = len(cents)
+    if n_coarse is None:
+        n_coarse = max(2, int(np.ceil(np.sqrt(C))))
+    n_coarse = min(n_coarse, C)
+    if metric == "l2":
+        coarse = kmeans_lloyd_l2(cents, n_coarse, iters, seed)
+        d = ((cents[:, None] - coarse[None]) ** 2).sum(-1)
+        child_of = np.argmin(d, axis=1)
+    else:
+        coarse = kmeans_lloyd(cents, n_coarse, iters, seed)
+        child_of = np.argmax(cents @ coarse.T, axis=1)
+    kept = np.unique(child_of)  # ascending original index → dense re-label
+    remap = {int(g): i for i, g in enumerate(kept)}
+    return coarse[kept], np.array([remap[int(g)] for g in child_of])
+
+
+def _assign_cells_hier(emb: DataFrame, cents_np: np.ndarray, id_col: str,
+                       vec_col: str, metric: str, seed: int) -> DataFrame:
+    """Two-level top-1 assignment: argbest over √C coarse groups, then
+    argbest over that group's children only. Both levels are broadcast
+    joins; both windows partition by `id_col`, so the second reuses the
+    first's hash exchange (one shuffle of N×√C scored rows total vs the
+    flat path's N×C). Same tie-breaks as the flat path (best score, then
+    lowest cell). Emits (id, v, cell, rn=1) — the flat path's schema."""
+    spark = emb.sparkSession
+    coarse, child_of = group_centroids(cents_np, metric=metric, seed=seed)
+    coarse_df = spark.createDataFrame(
+        [(g, [float(x) for x in c]) for g, c in enumerate(coarse)],
+        "grp long, gc array<double>")
+    fine_df = spark.createDataFrame(
+        [(i, int(child_of[i]), [float(x) for x in c])
+         for i, c in enumerate(cents_np)],
+        "cell long, grp long, c array<double>")
+    base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if metric == "l2":
+        d1 = _sqdist("v", "gc")
+        w1 = Window.partitionBy(id_col).orderBy(F.col("d1").asc(), F.col("grp").asc())
+    else:
+        d1 = _dot("v", "gc")
+        w1 = Window.partitionBy(id_col).orderBy(F.col("d1").desc(), F.col("grp").asc())
+    routed = (
+        base.crossJoin(F.broadcast(coarse_df)).withColumn("d1", d1)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") == 1)
+        .select(id_col, "v", "grp")
+    )
+    if metric == "l2":
+        d2 = _sqdist("v", "c")
+        w2 = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cell").asc())
+    else:
+        d2 = _dot("v", "c")
+        w2 = Window.partitionBy(id_col).orderBy(F.col("d").desc(), F.col("cell").asc())
+    return (
+        routed.join(F.broadcast(fine_df), "grp").withColumn("d", d2)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "v", "cell", "rn")
+    )
+
+
 def _assign_cells(emb: DataFrame, n_cells: int, dim: int, seed: int,
                   id_col: str, vec_col: str, top_n: int = 1,
                   cents: DataFrame | None = None,
-                  metric: str = "dot") -> DataFrame:
+                  metric: str = "dot",
+                  cents_np: "np.ndarray | None" = None) -> DataFrame:
     """(vec_id, v, cell[, rn]) — rank centroids per vector by dot product
     (desc, cell asc tie-break) or squared L2 (asc — metric="l2", for the
     mean-centroid quantizer of the residual-PQ path) via a broadcast cross
     join of the tiny centroid table; rn ≤ top_n kept. Pass a prebuilt
     `cents` frame to share one centroid relation across multiple
-    assignment stages (one broadcast build instead of two)."""
+    assignment stages (one broadcast build instead of two).
+
+    Top-1 assignment over ≥ HIER_MIN_CELLS centroids routes through the
+    two-level coarse→children walk (`_assign_cells_hier`) when the numpy
+    centroids are available — at cells ∝ N that is the difference between
+    N×C and 2N√C dot products. Multi-probe (top_n > 1) stays flat: it is
+    only ever run on the tiny query side."""
+    if cents_np is None and cents is None:
+        cents_np = _centroids(n_cells, dim, seed)
+    if cents_np is not None and top_n == 1 and len(cents_np) >= HIER_MIN_CELLS:
+        return _assign_cells_hier(emb, cents_np, id_col, vec_col, metric, seed)
     if cents is None:
-        cents = _centroid_df(emb.sparkSession, _centroids(n_cells, dim, seed))
+        cents = _centroid_df(emb.sparkSession, cents_np)
     base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     if metric == "l2":
         scored = base.crossJoin(F.broadcast(cents)).withColumn("d", _sqdist("v", "c"))
@@ -218,12 +315,16 @@ def _assign_cells(emb: DataFrame, n_cells: int, dim: int, seed: int,
 
 
 def ivf_assign(emb: DataFrame, n_cells: int = 8, dim: int = 64, seed: int = 11,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: "np.ndarray | None" = None) -> DataFrame:
     """(vec_id, cell) — IVF coarse-quantizer assignment (nearest centroid by
-    dot product; unit-norm centroids ⇒ nearest-by-cosine up to vector norm)."""
-    return _assign_cells(emb, n_cells, dim, seed, id_col, vec_col, top_n=1).select(
-        F.col(id_col), F.col("cell")
-    )
+    dot product; unit-norm centroids ⇒ nearest-by-cosine up to vector norm).
+    ≥ HIER_MIN_CELLS centroids assign via the two-level coarse→children walk
+    (see `group_centroids`); pass `centroids` to assign against a trained
+    codebook instead of the seeded one."""
+    return _assign_cells(
+        emb, n_cells, dim, seed, id_col, vec_col, top_n=1, cents_np=centroids
+    ).select(F.col(id_col), F.col("cell"))
 
 
 def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
@@ -235,12 +336,11 @@ def ann_ivf_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
     candidates exactly. At scale the cell equi-join replaces the cross
     product (candidates ≈ n_probe/n_cells of the corpus), and the inverted
     lists are exactly a partitioning/bucketing key for the corpus table."""
-    cents = _centroid_df(
-        emb.sparkSession,
-        _centroids(n_cells, dim, seed) if centroids is None else centroids,
-    )
+    cent_arr = _centroids(n_cells, dim, seed) if centroids is None else centroids
+    cents = _centroid_df(emb.sparkSession, cent_arr)
     corpus = _assign_cells(
-        emb, n_cells, dim, seed, id_col, vec_col, top_n=1, cents=cents
+        emb, n_cells, dim, seed, id_col, vec_col, top_n=1, cents=cents,
+        cents_np=cent_arr,
     ).select(F.col(id_col), "v", "cell")
     q_probed = (
         _assign_cells(
@@ -673,7 +773,7 @@ def semdedup(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
         ).join(assigned.select(id_col, "cell"), id_col)
     else:
         assigned = _assign_cells(emb, n_cells, dim, seed, id_col, vec_col,
-                                 cents=cents_df)
+                                 cents=cents_df, cents_np=cents_np)
     base = (
         assigned.join(F.broadcast(cents_df), "cell")
         .select(

@@ -196,3 +196,29 @@ def test_bm25_topk_uses_take_ordered(docs):
     # global top-k must be TakeOrderedAndProject (per-partition heap),
     # never a full Sort feeding a single-partition window over the corpus
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_reuse_plan_recomputes_no_assignment(spark):
+    """The pay-once-assign-twice composition (semdedup_reuse): the
+    localCheckpointed ivf_assign output feeds BOTH the cell-population
+    rollup and semdedup's clustering, so the composed physical plan must
+    contain no assignment machinery at all — no cross/nested-loop join
+    against a centroid table survives the checkpoint boundary."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from docling_spark.ops.similarity import ivf_assign, semdedup
+
+    assigned = ivf_assign(emb, n_cells=32).localCheckpoint(eager=False)
+    pop = assigned.groupBy("cell").agg(F.count("*").alias("cell_n"))
+    sd = semdedup(emb, threshold=0.35, n_cells=32, assigned=assigned)
+    out = sd.join(pop, "cell").select("vec_id", "cell", "cell_n",
+                                      "cent_cos_e6", "kept")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # flat-assign fingerprint
+    # the assignment sits behind exactly the checkpoint scans
+    assert "ExistingRDD" in plan
