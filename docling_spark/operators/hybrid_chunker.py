@@ -74,14 +74,26 @@ def _hf_tokenizer():
 
 
 def count_tokens(text: str) -> int:
-    """Token count for the chunk budget: the HF tokenizer when configured
-    (DOCLING_TOKENIZER) else a BPE-ish subword proxy (runs of letters /
-    digits / single punctuation — the same counter as ops.textstats
-    n_tokens_bpe)."""
+    """Token count for the chunk budget, in precedence order:
+
+    1. the HF tokenizer when configured (DOCLING_TOKENIZER) — production,
+    2. the committed-vocab BPE (functions/bpe.py, real Sennrich merges
+       trained once on the synth corpora and committed) — the DEFAULT,
+    3. the plain pretoken regex when DOCLING_TOKEN_COUNTER=regex — the
+       round-≤4 proxy, kept as an escape hatch and for the differential
+       test documenting how chunk boundaries shift under a real subword
+       tokenizer (BPE splits rare pretokens into several subwords, so BPE
+       counts ≥ regex counts and budget boundaries land earlier)."""
     tok = _hf_tokenizer()
     if tok is not None:
         return len(tok.encode(text).ids)
-    return len(_TOKEN_RE.findall(text))
+    import os
+
+    if os.environ.get("DOCLING_TOKEN_COUNTER") == "regex":
+        return len(_TOKEN_RE.findall(text))
+    from docling_spark.functions.bpe import bpe_count
+
+    return bpe_count(text)
 
 
 def _chunk_tokens(content: str, headings: Sequence[str]) -> int:

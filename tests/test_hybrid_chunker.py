@@ -99,15 +99,59 @@ def test_spark_sink_roundtrip(spark, corpus_path):
         assert sorted(nos) == list(range(len(nos)))
 
 
-def test_count_tokens_matches_textstats_regex():
-    # the counter must agree with ops.textstats n_tokens_bpe semantics
-    assert count_tokens("abc 123 ,x.") == 5  # abc, 123, ',', 'x', '.'
+def test_count_tokens_default_is_bpe(monkeypatch):
+    # round 5: the default counter is the committed-vocab BPE; the regex
+    # proxy stays behind DOCLING_TOKEN_COUNTER=regex
+    from docling_spark.functions.bpe import bpe_count
+
+    assert count_tokens("a b c") == 3       # single chars never split
     assert count_tokens("") == 0
+    assert count_tokens("abc 123 ,x.") == bpe_count("abc 123 ,x.")
+    # additivity across whitespace — the fold-ability invariant the
+    # DuckDB oracle's map-parameter form depends on
+    assert (count_tokens("foo bar baz")
+            == count_tokens("foo") + count_tokens("bar") + count_tokens("baz"))
+    monkeypatch.setenv("DOCLING_TOKEN_COUNTER", "regex")
+    assert count_tokens("abc 123 ,x.") == 5  # abc, 123, ',', 'x', '.'
 
 
-def test_tokenizer_hook_falls_back_to_regex(monkeypatch):
+def test_bpe_vs_regex_boundary_shift(monkeypatch):
+    """The documented behavior change of the round-5 counter switch: BPE
+    splits out-of-vocab pretokens into several subwords, so counts are >=
+    the regex pretoken counts and budget boundaries land EARLIER."""
+    from docling_spark.functions.bpe import bpe_count
+
+    from docling_spark.operators.hybrid_chunker import _split_words
+
+    rare = " ".join(["zqxvwjk"] * 24)      # not in the synth training vocab
+    assert bpe_count(rare) > len(rare.split())
+    pieces_bpe = _split_words(rare, 12)
+    monkeypatch.setenv("DOCLING_TOKEN_COUNTER", "regex")
+    pieces_rgx = _split_words(rare, 12)
+    assert len(pieces_bpe) > len(pieces_rgx)  # boundaries shifted earlier
+    # both reassemble the exact text
+    assert " ".join(pieces_bpe) == rare and " ".join(pieces_rgx) == rare
+
+
+def test_bpe_encoder_semantics():
+    from docling_spark.functions.bpe import (
+        bpe_count, encode_pretoken, train_bpe)
+
+    # committed-vocab encoder: common synth-corpus words collapse to few
+    # tokens; concatenation of the encoded pieces reproduces the pretoken
+    for w in ("the", "data", "section", "zqxvwjk"):
+        toks = encode_pretoken(w)
+        assert "".join(toks) == w
+        assert 1 <= len(toks) <= len(w)
+    # training is deterministic and learns the obvious merge
+    merges = train_bpe(["aaab aaab aaab"], n_merges=4)
+    assert merges and merges[0] == ("a", "a")
+    assert train_bpe(["aaab aaab aaab"], n_merges=4) == merges
+
+
+def test_tokenizer_hook_falls_back(monkeypatch):
     # with DOCLING_TOKENIZER set but no tokenizers wheel installed, the
-    # counter must silently fall back to the regex proxy (import-try gate)
+    # counter must silently fall back to the default (import-try gate)
     import docling_spark.operators.hybrid_chunker as hc
 
     monkeypatch.setattr(hc, "_HF_TOKENIZER", None)
