@@ -21,10 +21,18 @@ reference's chunk-composition rules (_language_code_chunkers.py:477-640):
 - oversized chunks split under a token budget (the `_ChunkSizeProcessor`
   role) with the SAME BPE-ish counter the hybrid chunker budgets with
 
-C / Java / JavaScript / TypeScript fall back to a documented
-brace-matching top-level function splitter (same output schema, no
-import/variable context) — the reference's per-language tree-sitter
-grammars have no stdlib equivalent.
+JAVA gets the same composition treatment on a structural parser
+(comment/string masking + brace tree — no tree-sitter needed for the
+composition rules, _JavaFunctionChunker :1434-1664): per-method chunks
+carry package prefix + used imports (identifier-matched; wildcard imports
+always included) + the ancestor type contexts (signature, fields/
+constants, static initializers, constructor) + the method with its
+javadoc hoisted to metadata; methodless types chunk whole; unused
+imports and stray top-level code orphan into preamble chunks.
+
+C / JavaScript / TypeScript fall back to a documented brace-matching
+top-level function splitter (same output schema, no import/variable
+context) — their tree-sitter grammars have no stdlib equivalent.
 
 Spark shape: one zero-shuffle mapInPandas over (doc_id, language, code) —
 identical to the serializer sinks; chunking is a per-document fold, so it
@@ -221,6 +229,13 @@ _BRACE_FN_RE = re.compile(
     re.M,
 )
 
+# control-flow headers also match `name(cond) {` — they are blocks, not
+# function definitions, and must fall through to preamble
+_BRACE_KEYWORDS = frozenset({
+    "if", "else", "while", "for", "switch", "catch", "do", "return",
+    "synchronized", "try", "with", "until", "unless",
+})
+
 
 def _chunk_rows_braces(code: str) -> List[tuple]:
     """C / Java / JS / TS fallback: top-level `name(args) {...}` blocks by
@@ -229,6 +244,8 @@ def _chunk_rows_braces(code: str) -> List[tuple]:
     rows: List[tuple] = []
     used: set = set()
     for m in _BRACE_FN_RE.finditer(code):
+        if m.group(1) in _BRACE_KEYWORDS:
+            continue  # `if (cond) {` is not a function named "if"
         depth, end = 0, None
         for j in range(m.end() - 1, len(code)):
             if code[j] == "{":
@@ -264,6 +281,360 @@ def _chunk_rows_braces(code: str) -> List[tuple]:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# Java: composition-rule chunking on a structural (mask + brace-tree) parser
+# — the reference's _JavaFunctionChunker rules (:1434-1664) without
+# tree-sitter (container-blocked): per-method chunks carry
+# package prefix + used imports + ancestor class context (signature,
+# fields/constants, static initializers, constructor) + the method body
+# with its doc comment HOISTED to metadata; methodless types chunk whole;
+# unused imports and stray top-level code become preamble chunks.
+# ---------------------------------------------------------------------------
+
+_JAVA_TYPE_RE = re.compile(r"\b(class|interface|enum|record)\s+([A-Za-z_$][\w$]*)")
+_JAVA_NAME_PAREN_RE = re.compile(r"([A-Za-z_$][\w$]*)\s*\(")
+_JAVA_IMPORT_RE = re.compile(r"^[ \t]*import\s+(static\s+)?([\w.]+(?:\.\*)?)\s*;",
+                             re.M)
+_JAVA_PACKAGE_RE = re.compile(r"^[ \t]*package\s+[\w.]+\s*;", re.M)
+
+
+def _java_mask(code: str) -> Tuple[str, List[Tuple[int, int]]]:
+    """Comments and string/char literal CONTENTS replaced by spaces
+    (newlines preserved, so line numbers and brace positions survive);
+    returns (masked, comment_spans)."""
+    out = list(code)
+    comments: List[Tuple[int, int]] = []
+    i, n = 0, len(code)
+    while i < n:
+        c = code[i]
+        nxt = code[i + 1] if i + 1 < n else ""
+        if c == "/" and nxt == "/":
+            j = code.find("\n", i)
+            j = n if j == -1 else j
+            comments.append((i, j))
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif c == "/" and nxt == "*":
+            j = code.find("*/", i + 2)
+            j = n - 2 if j == -1 else j
+            comments.append((i, j + 2))
+            for k in range(i, j + 2):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j + 2
+        elif c == '"' and code[i:i + 3] == '"""':  # Java 15 text block
+            j = code.find('"""', i + 3)
+            j = n - 3 if j == -1 else j
+            for k in range(i + 3, j):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j + 3
+        elif c in "\"'":
+            j = i + 1
+            while j < n and code[j] != c:
+                j += 2 if code[j] == "\\" else 1
+            for k in range(i + 1, min(j, n)):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = min(j, n - 1) + 1
+        else:
+            i += 1
+    return "".join(out), comments
+
+
+class _JBlock:
+    __slots__ = ("open", "close", "children", "hdr_start")
+
+    def __init__(self, open_: int, close: int, children: "List[_JBlock]",
+                 hdr_start: int):
+        self.open, self.close, self.children = open_, close, children
+        self.hdr_start = hdr_start  # after prev sibling / last ';' at level
+
+
+def _java_blocks(masked: str, lo: int, hi: int) -> "List[_JBlock]":
+    """Sibling brace blocks in masked[lo:hi], each with nested children and
+    its header start (the position after the previous same-level ';' or
+    sibling close — the span a declaration's modifiers/annotations/javadoc
+    occupy)."""
+    out: List[_JBlock] = []
+    cursor = lo
+    i = lo
+    while i < hi:
+        ch = masked[i]
+        if ch == ";":
+            cursor = i + 1
+            i += 1
+        elif ch == "{":
+            depth, j = 0, i
+            while j < hi:
+                if masked[j] == "{":
+                    depth += 1
+                elif masked[j] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            kids = _java_blocks(masked, i + 1, j)
+            seg = masked[cursor:i]
+            p = seg.rfind(";")
+            hdr_start = cursor + p + 1 if p != -1 else cursor
+            out.append(_JBlock(i, j, kids, hdr_start))
+            cursor = j + 1
+            i = j + 1
+        else:
+            i += 1
+    return out
+
+
+_JAVA_CTRL = frozenset({
+    "if", "else", "while", "for", "switch", "try", "catch", "finally", "do",
+    "synchronized", "return", "new", "throw", "assert", "case", "default",
+})
+
+
+def _java_classify(hdr: str) -> Tuple[str, str]:
+    """('type'|'method'|'ctor_or_method'|'static_init'|'expr'|'ctrl', name)
+    from a masked header string."""
+    h = hdr.strip()
+    m = _JAVA_TYPE_RE.search(h)
+    if m and "new" not in _javawords(h[:m.start()]):
+        return m.group(1), m.group(2)  # class/interface/enum/record
+    if h.endswith(("=", ",", "[", "]")) or "->" in h[-4:]:
+        return "expr", ""  # array initializer / lambda
+    names = [mm for mm in _JAVA_NAME_PAREN_RE.finditer(h)
+             if mm.group(1) not in _JAVA_CTRL
+             and (mm.start() == 0 or h[mm.start() - 1] != "@")]
+    if "new" in _javawords(h):
+        return "expr", ""  # anonymous class body
+    if names:
+        return "method", names[-1].group(1)
+    if _javawords(h)[-1:] == ["static"] or h == "static":
+        return "static_init", "<clinit>"
+    if any(w in _JAVA_CTRL for w in _javawords(h)):
+        return "ctrl", ""
+    return "expr", ""
+
+
+def _javawords(s: str) -> List[str]:
+    return re.findall(r"[A-Za-z_$][\w$]*", s)
+
+
+def _java_doc_comment(code: str, comments: List[Tuple[int, int]],
+                      hdr_start: int, decl_start: int) -> Tuple[str, "Tuple[int, int] | None"]:
+    """The comment that sits in the declaration's header span, closest to
+    the declaration — the reference's prev-named-sibling docs node."""
+    best = None
+    for a, b in comments:
+        if a >= hdr_start and b <= decl_start:
+            best = (a, b)
+    if best is None:
+        return "", None
+    return code[best[0]:best[1]].strip(), best
+
+
+def _java_decl_start(code: str, masked: str, hdr_start: int, open_: int,
+                     doc_span: "Tuple[int, int] | None") -> int:
+    """First code char of the declaration: after the doc comment (which is
+    hoisted), skipping whitespace; annotations stay part of the decl."""
+    lo = doc_span[1] if doc_span else hdr_start
+    seg = masked[lo:open_]
+    off = len(seg) - len(seg.lstrip())
+    return lo + off
+
+
+def _java_fields(code: str, masked: str, body_lo: int, body_hi: int,
+                 members: "List[_JBlock]") -> List[str]:
+    """Field/constant statements of a type body: the ';'-terminated
+    segments not claimed by a member block (methods, nested types, static
+    inits); expression blocks (array initializers) stay inside their
+    statement. Abstract/interface method signatures end with ';' and are
+    picked up here too — they are context, exactly like constants."""
+    claimed = [(b.hdr_start, b.close + 1) for b in members]
+    fields: List[str] = []
+    cursor = body_lo
+    i = body_lo
+    while i < body_hi:
+        inside = next((c for c in claimed if c[0] <= i < c[1]), None)
+        if inside:
+            i = inside[1]
+            cursor = i
+            continue
+        if masked[i] == ";":
+            seg = code[cursor:i + 1].strip()
+            if seg:
+                fields.append(seg)
+            cursor = i + 1
+        i += 1
+    return fields
+
+
+def _java_type_context(code: str, masked: str, blk: "_JBlock", kind: str,
+                       comments: List[Tuple[int, int]]) -> str:
+    """additional_context_no_docstring for one type: signature + " {",
+    fields/constants, static initializers, constructor, "}" —
+    _build_java_class_like_context (:1555-1630). The type's own doc
+    comment stays OUT (this is the no-docstring variant)."""
+    _, doc_span = _java_doc_comment(code, comments, blk.hdr_start, blk.open)
+    decl_start = _java_decl_start(code, masked, blk.hdr_start, blk.open, doc_span)
+    sig = code[decl_start:blk.open].strip()
+    members = blk.children
+    inner_parts: List[str] = []
+    inner_parts.extend(_java_fields(code, masked, blk.open + 1, blk.close, members))
+    for m in members:
+        mk, mname = _java_classify(masked[m.hdr_start:m.open].strip())
+        if mk == "static_init":
+            inner_parts.append(code[_java_decl_start(code, masked, m.hdr_start, m.open, None):m.close + 1].strip())
+    # constructor: a method whose name matches the type name
+    tm = _JAVA_TYPE_RE.search(sig)
+    tname = tm.group(2) if tm else ""
+    for m in members:
+        mk, mname = _java_classify(masked[m.hdr_start:m.open].strip())
+        if mk == "method" and mname == tname:
+            _, dspan = _java_doc_comment(code, comments, m.hdr_start, m.open)
+            inner_parts.append(code[_java_decl_start(code, masked, m.hdr_start, m.open, dspan):m.close + 1].strip())
+    inner = "\n".join(p for p in inner_parts if p.strip())
+    parts = [sig + " {"]
+    if inner:
+        parts.append(inner)
+    return "\n\n".join(parts).rstrip() + "\n}"
+
+
+def _chunk_rows_java(code: str) -> List[tuple]:
+    """(part_name, chunk_type, start, end, sig_end, docstring, content) —
+    the reference's Java composition rules on the structural parser."""
+    masked, comments = _java_mask(code)
+    lines = code.split("\n")
+
+    def line_of(pos: int) -> int:
+        return code.count("\n", 0, pos) + 1
+
+    pkg = _JAVA_PACKAGE_RE.search(masked)
+    prefix = (code[pkg.start():pkg.end()].strip() + "\n") if pkg else ""
+    imports: dict = {}  # simple name (or full text for wildcard) → (start, end)
+    for m in _JAVA_IMPORT_RE.finditer(masked):
+        path = m.group(2)
+        simple = path.rsplit(".", 1)[-1]
+        key = code[m.start():m.end()].strip() if simple == "*" else simple
+        imports[key] = (m.start(), m.end())
+
+    top = _java_blocks(masked, 0, len(masked))
+    rows: List[tuple] = []
+    used: List[Tuple[int, int]] = []
+    if pkg:
+        used.append((line_of(pkg.start()), line_of(pkg.end() - 1)))
+    used_import_keys: set = set()
+
+    def imports_block(texts_used: set) -> str:
+        wild = {code[a:b].strip() for k, (a, b) in imports.items()
+                if k.startswith("import ")}
+        alltexts = sorted(wild | texts_used)
+        return ("\n".join(alltexts) + "\n") if alltexts else ""
+
+    def used_imports_for(text: str, ctx: str) -> set:
+        out = set()
+        words = set(_javawords(text))
+        for k in imports:
+            if k.startswith("import "):
+                continue
+            if k in words or (ctx and k in ctx):
+                out.add(k)
+        return out
+
+    def emit_function(blk: "_JBlock", ancestors: List[Tuple[str, "_JBlock"]],
+                      name: str) -> None:
+        hdr_masked = masked[blk.hdr_start:blk.open]
+        doc, doc_span = _java_doc_comment(code, comments, blk.hdr_start, blk.open)
+        decl_start = _java_decl_start(code, masked, blk.hdr_start, blk.open, doc_span)
+        body = code[decl_start:blk.close + 1]
+        ctxs = [_java_type_context(code, masked, ab, ak, comments)
+                for ak, ab in ancestors]
+        ctx = "\n".join(ctxs)
+        uimp = used_imports_for(masked[decl_start:blk.close + 1], ctx)
+        used_import_keys.update(uimp)
+        imp_txts = {code[imports[k][0]:imports[k][1]].strip() for k in uimp}
+        content = "".join([
+            prefix,
+            imports_block(imp_txts),
+            (ctx + "\n") if ctx else "",
+            body,
+        ])
+        part = ".".join([_JAVA_TYPE_RE.search(
+            masked[ab.hdr_start:ab.open]).group(2) for _, ab in ancestors] + [name])
+        rows.append((part, "function", line_of(decl_start), line_of(blk.close),
+                     line_of(blk.open), doc, content))
+        lo = doc_span[0] if doc_span else decl_start
+        used.append((line_of(lo), line_of(blk.close)))
+
+    def walk_type(blk: "_JBlock", kind: str, name: str,
+                  ancestors: List[Tuple[str, "_JBlock"]]) -> bool:
+        """Returns True if this type (or a nested one) produced methods —
+        then the whole type span is claimed (reference marks the parent
+        class range used when context is built, :586-592)."""
+        chain = ancestors + [(kind, blk)]
+        had_methods = False
+        for m in blk.children:
+            mk, mname = _java_classify(masked[m.hdr_start:m.open].strip())
+            if mk in ("class", "interface", "enum", "record"):
+                had_methods |= walk_type(m, mk, mname, chain)
+            elif mk == "method":
+                emit_function(m, chain, mname)
+                had_methods = True
+        if had_methods:
+            # claim from the type's javadoc (hoisted into member contexts)
+            # or its first declaration char — NOT from hdr_start, which sits
+            # right after the previous ';' and would swallow that line
+            _, dspan = _java_doc_comment(code, comments, blk.hdr_start, blk.open)
+            lo = dspan[0] if dspan else _java_decl_start(
+                code, masked, blk.hdr_start, blk.open, dspan)
+            used.append((line_of(lo), line_of(blk.close)))
+        return had_methods
+
+    for blk in top:
+        k, name = _java_classify(masked[blk.hdr_start:blk.open].strip())
+        if k in ("class", "interface", "enum", "record"):
+            if walk_type(blk, k, name, []):
+                continue
+            # methodless type chunks whole, doc comment hoisted (:514-523)
+            doc, doc_span = _java_doc_comment(code, comments, blk.hdr_start, blk.open)
+            decl_start = _java_decl_start(code, masked, blk.hdr_start, blk.open, doc_span)
+            body = code[decl_start:blk.close + 1]
+            uimp = used_imports_for(masked[decl_start:blk.close + 1], "")
+            used_import_keys.update(uimp)
+            imp_txts = {code[imports[kk][0]:imports[kk][1]].strip() for kk in uimp}
+            rows.append((name, "class", line_of(decl_start), line_of(blk.close),
+                         line_of(blk.open), doc,
+                         prefix + imports_block(imp_txts) + body))
+            lo = doc_span[0] if doc_span else decl_start
+            used.append((line_of(lo), line_of(blk.close)))
+
+    for k in used_import_keys:
+        a, b = imports[k]
+        used.append((line_of(a), line_of(b - 1)))
+    # copyright comments dropped (:533-540)
+    for a, b in comments:
+        if any(w in code[a:b].lower() for w in _COPYRIGHT_WORDS):
+            used.append((line_of(a), line_of(b - 1)))
+
+    covered = set()
+    for a, b in used:
+        covered.update(range(a, b + 1))
+    gap: List[int] = []
+    gaps: List[Tuple[int, int]] = []
+    for i in range(1, len(lines) + 1):
+        if i not in covered and lines[i - 1].strip():
+            gap.append(i)
+        elif gap:
+            gaps.append((gap[0], gap[-1]))
+            gap = []
+    if gap:
+        gaps.append((gap[0], gap[-1]))
+    for a, b in gaps:
+        rows.append(("", "preamble", a, b, a, "", _seg(lines, a, b)))
+    rows.sort(key=lambda r: (r[2], r[0]))
+    return rows
+
+
 def chunk_code_document(doc_id: str, language: str, code: str,
                         max_tokens: int = 5000) -> List[tuple]:
     """One document → CODE_CHUNK_DDL rows. Oversized chunks split on line
@@ -272,6 +643,8 @@ def chunk_code_document(doc_id: str, language: str, code: str,
     lang = (language or "").lower()
     if lang == "python":
         rows = _chunk_rows_python(code)
+    elif lang == "java":
+        rows = _chunk_rows_java(code)
     else:
         rows = _chunk_rows_braces(code)
     out: List[tuple] = []
@@ -372,6 +745,43 @@ function area_{i}(r) {{
 module.exports = {{ area_{i} }};
 '''
 
+_JAVA_TMPL = '''/* Copyright {year} Example. All rights reserved. */
+package com.example.m{i};
+
+import java.util.List;
+import java.util.Map;
+import java.io.IOException;
+
+/** Service {i}. */
+public class Service{i} {{
+    /** scale constant */
+    private static final int LIMIT = {limit};
+    private final List<String> items;
+
+    public Service{i}(List<String> items) {{
+        this.items = items;
+    }}
+
+    /** Sum of sizes, scaled by {limit}. */
+    public int total() {{
+        int acc = 0;
+        for (String s : items) {{
+            acc += s.length() * LIMIT;
+        }}
+        return acc;
+    }}
+
+    public Map<String, Integer> index() throws IOException {{
+        return Map.of("m{i}", LIMIT);
+    }}
+}}
+
+/** Tag for module {i}. */
+class Tag{i} {{
+    static final String NAME = "m{i}";
+}}
+'''
+
 
 def synth_code_rows(n: int = 16, seed: int = 7) -> List[tuple]:
     """(doc_id, language, code) — deterministic mixed-language corpus;
@@ -380,7 +790,10 @@ def synth_code_rows(n: int = 16, seed: int = 7) -> List[tuple]:
     rows = []
     for i in range(n):
         limit = (i * 31 + seed) % 97 + 3
-        if i % 4 == 2:
+        if i % 4 == 1:
+            rows.append((f"code-{i:03d}", "java",
+                         _JAVA_TMPL.format(i=i, limit=limit, year=2020 + i % 6)))
+        elif i % 4 == 2:
             rows.append((f"code-{i:03d}", "c",
                          _C_TMPL.format(i=i, limit=limit)))
         elif i % 4 == 3:

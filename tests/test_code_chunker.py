@@ -136,7 +136,7 @@ def test_chunker_never_raises_fuzz():
     assert chunk_code_document("d", "python", deep)[0][3] == "preamble"
 
 
-def test_java_brace_chunker():
+def test_java_composition_chunker():
     java = (
         "import java.util.List;\n\n"
         "public class Calc {\n"
@@ -148,5 +148,194 @@ def test_java_brace_chunker():
     )
     rows = chunk_code_document("d", "java", java)
     fns = {r[2]: r for r in rows if r[3] == "function"}
-    assert "add" in fns
-    assert "return a + b" in fns["add"][8]
+    assert "Calc.add" in fns
+    content = fns["Calc.add"][8]
+    assert "return a + b" in content
+    assert "public class Calc {" in content    # class context prepended
+    # the List import is unused by add() -> not in the chunk, orphaned
+    assert "import java.util.List" not in content
+    preamble = "\n".join(r[8] for r in rows if r[3] == "preamble")
+    assert "import java.util.List" in preamble
+
+
+def test_control_flow_headers_are_not_functions():
+    # top-level `if (cond) { ... }` must land in preamble, not become a
+    # chunk_type='function' named 'if' (ADVICE r4: _BRACE_FN_RE matched
+    # control-flow headers)
+    js = (
+        "const LIMIT = 10;\n"
+        "if (process.env.DEBUG) {\n"
+        "    console.log('debug on');\n"
+        "}\n"
+        "while (queue.length) {\n"
+        "    queue.pop();\n"
+        "}\n"
+        "function realWork(x) {\n"
+        "    switch (x) { case 1: return 2; }\n"
+        "    return x;\n"
+        "}\n"
+    )
+    rows = chunk_code_document("d", "javascript", js)
+    fn_names = {r[2] for r in rows if r[3] == "function"}
+    assert fn_names == {"realWork"}
+    preamble = "\n".join(r[8] for r in rows if r[3] == "preamble")
+    assert "debug on" in preamble and "queue.pop" in preamble
+
+
+_JAVA_RICH = '''/* Copyright 2024 Example Corp. Licensed under Apache-2.0. */
+package com.example.app;
+
+import java.util.List;
+import java.util.Map;
+import java.io.IOException;
+import com.example.util.*;
+
+/** Greets people. */
+public class Greeter {
+    /** Default salutation. */
+    private static final String GREETING = "Hello";
+    private final List<String> names;
+
+    static {
+        System.out.println("init");
+    }
+
+    public Greeter(List<String> names) {
+        this.names = names;
+    }
+
+    /**
+     * Greet everyone.
+     * @return joined greeting
+     */
+    public String greetAll() throws IOException {
+        StringBuilder sb = new StringBuilder();
+        for (String n : names) {
+            sb.append(GREETING).append(", ").append(n);
+        }
+        return sb.toString();
+    }
+
+    public Map<String, Integer> count() {
+        return null;
+    }
+}
+
+/** A methodless marker. */
+class Marker {
+    int flag = 1;
+}
+
+enum Day {
+    MON, TUE;
+
+    public String lower() {
+        return name().toLowerCase();
+    }
+}
+'''
+
+
+def test_java_composition_rules_pinned():
+    """Pins the reference's Java composition rules
+    (_language_code_chunkers.py:1434-1664) on the structural parser:
+    used-import selection, package prefix, class context (fields + static
+    init + constructor), javadoc hoisting, methodless-class whole chunks,
+    enum constant context, copyright-comment dropping."""
+    rows = chunk_code_document("d", "java", _JAVA_RICH)
+    by_part = {r[2]: r for r in rows}
+
+    # every member chunk exists with the right type
+    assert by_part["Greeter.greetAll"][3] == "function"
+    assert by_part["Greeter.Greeter"][3] == "function"     # constructor
+    assert by_part["Greeter.count"][3] == "function"
+    assert by_part["Marker"][3] == "class"                  # methodless
+    assert by_part["Day.lower"][3] == "function"
+
+    g = by_part["Greeter.greetAll"]
+    # javadoc hoisted: in metadata, not in content
+    assert "Greet everyone" in g[7]
+    assert "Greet everyone" not in g[8]
+    # package prefix + USED imports only (IOException via throws, List via
+    # class context), wildcard import always included, Map unused -> absent
+    assert g[8].startswith("package com.example.app;")
+    assert "import java.io.IOException;" in g[8]
+    assert "import java.util.List;" in g[8]
+    assert "import com.example.util.*;" in g[8]
+    assert "import java.util.Map" not in g[8]
+    # class context: signature, fields, static initializer, constructor
+    assert "public class Greeter {" in g[8]
+    assert 'GREETING = "Hello"' in g[8]
+    assert 'System.out.println("init")' in g[8]
+    assert "public Greeter(List<String> names)" in g[8]
+    # the method body itself, with its loop
+    assert "sb.append(GREETING)" in g[8]
+
+    c = by_part["Greeter.count"]
+    assert "import java.util.Map;" in c[8]        # used here
+    assert "import java.io.IOException" not in c[8]
+
+    m = by_part["Marker"]
+    assert m[7] == "/** A methodless marker. */"  # class javadoc hoisted
+    assert "int flag = 1;" in m[8]
+
+    d = by_part["Day.lower"]
+    assert "MON, TUE;" in d[8]                    # enum constants as context
+    assert "enum Day {" in d[8]
+
+    # copyright comment dropped entirely
+    all_text = "\n".join(r[8] for r in rows)
+    assert "Copyright 2024" not in all_text
+    # the only orphan is the wildcard import: it joins every chunk's import
+    # block but is never identifier-matched as used — exactly the
+    # reference's range semantics (_build_imports adds it to set_imports,
+    # _find_used_imports never returns it, so its range stays unclaimed)
+    pre = [r for r in rows if r[3] == "preamble"]
+    assert [p[8] for p in pre] == ["import com.example.util.*;"]
+
+
+def test_java_nested_class_context_chain():
+    java = (
+        "public class Outer {\n"
+        "    private int base = 1;\n"
+        "    public static class Inner {\n"
+        "        private int extra = 2;\n"
+        "        public int sum() {\n"
+        "            return extra;\n"
+        "        }\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = chunk_code_document("d", "java", java)
+    by_part = {r[2]: r for r in rows}
+    s = by_part["Outer.Inner.sum"]
+    assert s[3] == "function"
+    # ancestor chain outer->inner, each with its fields
+    assert "public class Outer {" in s[8]
+    assert "private int base = 1;" in s[8]
+    assert "public static class Inner {" in s[8]
+    assert "private int extra = 2;" in s[8]
+    assert s[8].index("Outer") < s[8].index("Inner")
+
+
+def test_java_interface_and_text_block():
+    java = (
+        "import java.util.List;\n\n"
+        "public interface Repo {\n"
+        "    String BANNER = \"\"\"\n"
+        "        {not a brace}\n"
+        "        \"\"\";\n"
+        "    List<String> all();\n"
+        "    default int size() {\n"
+        "        return all().size();\n"
+        "    }\n"
+        "}\n"
+    )
+    rows = chunk_code_document("d", "java", java)
+    by_part = {r[2]: r for r in rows}
+    s = by_part["Repo.size"]
+    # abstract signature + constant are context; braces in the text block
+    # did not confuse the parser; List used via context
+    assert "List<String> all();" in s[8]
+    assert "BANNER" in s[8]
+    assert "import java.util.List;" in s[8]
