@@ -161,7 +161,15 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     fingerprint at k=3 gives 8-bit blocks → N²/2⁸ — quadratic blow-up at
     10⁹ docs; keep `bits=64` in production.) Block values are extracted
     with an unsigned shift + mask so the sign bit (bit 63) of the packed
-    fingerprint is handled like any other bit."""
+    fingerprint is handled like any other bit.
+
+    `bits=128` switches to the two-long fingerprint (`simhash128`) with
+    32-bit blocks at k=3 — the width knob the sf1 scale-step instrument
+    recommends for low-entropy corpora (collision ratio ∝ 1/2^(bits/(k+1)))."""
+    if bits == 128:
+        sig = simhash128(docs, id_col, text_col)
+        return hamming_pairs(sig, id_col, ["simhash_lo", "simhash_hi"],
+                             128, max_hamming, materialize)
     sig = simhash(docs, id_col, text_col, bits)
     return hamming_pairs(sig, id_col, "simhash", bits, max_hamming, materialize)
 
@@ -182,8 +190,13 @@ def simhash_block_stats(docs: DataFrame, id_col: str = "doc_id",
     while the ratio vs all pairs falls ~1/N in a healthy corpus. A
     candidates-per-doc figure that grows with N means the fingerprint is
     too narrow for the corpus size — widen `bits` before scaling up."""
-    sig = simhash(docs, id_col, text_col, bits)
-    cand = hamming_pairs(sig, id_col, "simhash", bits, max_hamming,
+    if bits == 128:
+        sig = simhash128(docs, id_col, text_col)
+        vcols = ["simhash_lo", "simhash_hi"]
+    else:
+        sig = simhash(docs, id_col, text_col, bits)
+        vcols = "simhash"
+    cand = hamming_pairs(sig, id_col, vcols, bits, max_hamming,
                          materialize=True, verify=False)
     n_cand = cand.agg(F.count("*").cast("long").alias("n_block_candidate_pairs"))
     n_ver = (
@@ -204,7 +217,7 @@ def simhash_block_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def hamming_pairs(sig: DataFrame, id_col: str, value_col: str,
+def hamming_pairs(sig: DataFrame, id_col: str, value_col,
                   bits: int = 64, max_hamming: int = 3,
                   materialize: bool = True, verify: bool = True) -> DataFrame:
     """The pigeonhole hamming search over ANY (id, fingerprint) relation —
@@ -212,19 +225,29 @@ def hamming_pairs(sig: DataFrame, id_col: str, value_col: str,
     (ops.multimodal.image_neardup_pairs). See simhash_neardup_pairs for the
     construction and geometry math. `verify=False` returns every distinct
     block-collision candidate with its exact hamming distance UNfiltered —
-    the pre-verify population `simhash_block_stats` monitors."""
+    the pre-verify population `simhash_block_stats` monitors.
+
+    `value_col` may be a LIST of long columns for fingerprints wider than
+    one BIGINT (the 128-bit simhash passes ["simhash_lo", "simhash_hi"];
+    global bit j lives in column j // 64). Blocks must not straddle column
+    boundaries — at k=3 that means bits divisible by 4 longs-aligned
+    widths (64→16-bit, 128→32-bit blocks both are)."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    assert bits == 64 * len(value_cols), "bits must match 64 × fingerprint longs"
     n_blocks = max_hamming + 1
     width = bits // n_blocks
     blocks = []
     for b in range(n_blocks):
         lo = b * width
         w = width if b < n_blocks - 1 else bits - lo  # last takes remainder
-        val = F.expr(f"shiftrightunsigned({value_col}, {lo}) & {(1 << w) - 1}L")
+        ci, sh = lo // 64, lo % 64
+        assert sh + w <= 64, "pigeonhole block straddles a fingerprint long"
+        val = F.expr(f"shiftrightunsigned({value_cols[ci]}, {sh}) & {(1 << w) - 1}L")
         blocks.append(F.struct(F.lit(b).alias("block_id"), val.alias("block_val")))
     keyed = sig.select(
-        F.col(id_col), F.col(value_col),
+        F.col(id_col), *[F.col(c) for c in value_cols],
         F.explode(F.array(*blocks)).alias("blk"),
-    ).select(id_col, value_col, "blk.block_id", "blk.block_val")
+    ).select(id_col, *value_cols, "blk.block_id", "blk.block_val")
     if materialize:
         # Spark has no subplan reuse: both self-join sides would recompute
         # the fingerprint sub-plan. Materializing the block keys (8 bytes ×
@@ -232,7 +255,9 @@ def hamming_pairs(sig: DataFrame, id_col: str, value_col: str,
         # write-fingerprints-once shape — same as the minhash band keys.
         keyed = keyed.localCheckpoint()
     a, b = keyed.alias("a"), keyed.alias("b")
-    ham = F.expr(f"bit_count(a.{value_col} ^ b.{value_col})")
+    ham = F.expr(
+        " + ".join(f"bit_count(a.{c} ^ b.{c})" for c in value_cols)
+    )
     out = (
         a.join(
             b,
@@ -570,6 +595,49 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     for t in terms[1:]:
         total = total + t
     return d.select(F.col(id_col), total.cast("long").alias("simhash"))
+
+
+def simhash128(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash_lo, simhash_hi) — the 128-bit fingerprint as two
+    longs: two independent 64-bit bit-majority votes over two independent
+    universal-hash limb families (portable fam 0 / fam 1), i.e. one
+    128-bit simhash of the concatenated hash (h₀(t), h₁(t)).
+
+    Why it exists: the r4 sf1 scale-step instrument showed the 64-bit
+    fingerprint saturating on low-entropy corpora (block collision ratio
+    constant in N instead of falling) — the fix the instrument named is a
+    wider fingerprint. 128 bits at k=3 gives 32-bit pigeonhole blocks:
+    expected random collisions fall from N²/2¹⁶ to N²/2³² per block —
+    ~65,000× fewer at equal N. Same per-token work shape (two extended
+    hashes instead of one), same block equi-join."""
+    ext0 = P.simhash_ext_spark("h", fam=0)
+    ext1 = P.simhash_ext_spark("h", fam=1)
+    d = docs.select(
+        F.col(id_col),
+        F.expr(f"transform({P.token_hashes_spark(text_col)}, h -> {ext0})").alias("_eh0"),
+        F.expr(f"transform({P.token_hashes_spark(text_col)}, h -> {ext1})").alias("_eh1"),
+    )
+
+    def fold(eh_col: str) -> F.Column:
+        terms = []
+        for j in range(64):
+            mask_lit = P.simhash_bit_mask_lit(j)
+            vote = F.expr(
+                f"aggregate({eh_col}, 0L, (acc, h) -> acc + "
+                f"(CASE WHEN (h & {mask_lit}) != 0 THEN 1 ELSE -1 END))"
+            )
+            terms.append(
+                F.when(vote > 0, F.lit(P.simhash_bit_mask(j))).otherwise(F.lit(0))
+            )
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total.cast("long")
+
+    return d.select(
+        F.col(id_col), fold("_eh0").alias("simhash_lo"), fold("_eh1").alias("simhash_hi")
+    )
 
 
 def remove_duplicate_substrings(docs: DataFrame, window: int = 10,

@@ -166,20 +166,30 @@ def ngrams_duck(col: str, n: int) -> str:
 # sum never overflows: r1 + r2·2^30 + (r3%8)·2^60 < 2^63).
 SIMHASH_EXT_A = [982451653, 57885161, 2996863034, 868687]
 SIMHASH_EXT_B = [899809363, 304250263, 20996011, 259002588]
+# second independent limb family — the HIGH long of the 128-bit variant
+# (two independent 64-bit bit-vote fingerprints = one 128-bit simhash over
+# the concatenated hash function (h₀, h₁))
+SIMHASH_EXT_A2 = [715225739, 122949829, 198491329, 5915587]
+SIMHASH_EXT_B2 = [32452843, 512927377, 86028157, 715827883]
 
 
-def simhash_ext_spark(h: str) -> str:
-    r = [f"(({a}L * {h} + {b}L) % {MOD})"
-         for a, b in zip(SIMHASH_EXT_A, SIMHASH_EXT_B)]
+def _ext_family(fam: int):
+    return ((SIMHASH_EXT_A, SIMHASH_EXT_B) if fam == 0
+            else (SIMHASH_EXT_A2, SIMHASH_EXT_B2))
+
+
+def simhash_ext_spark(h: str, fam: int = 0) -> str:
+    A, B = _ext_family(fam)
+    r = [f"(({a}L * {h} + {b}L) % {MOD})" for a, b in zip(A, B)]
     return (
         f"({r[0]} + {r[1]} * {1 << 30}L + ({r[2]} % 8) * {1 << 60}L"
         f" + CASE WHEN {r[3]} % 2 = 1 THEN {-(1 << 63)}L ELSE 0L END)"
     )
 
 
-def simhash_ext_duck(h: str) -> str:
-    r = [f"(({a}::BIGINT * {h} + {b}::BIGINT) % {MOD})"
-         for a, b in zip(SIMHASH_EXT_A, SIMHASH_EXT_B)]
+def simhash_ext_duck(h: str, fam: int = 0) -> str:
+    A, B = _ext_family(fam)
+    r = [f"(({a}::BIGINT * {h} + {b}::BIGINT) % {MOD})" for a, b in zip(A, B)]
     return (
         f"({r[0]} + {r[1]} * {1 << 30}::BIGINT + ({r[2]} % 8) * {1 << 60}::BIGINT"
         f" + CASE WHEN {r[3]} % 2 = 1 THEN (-9223372036854775807 - 1) ELSE 0 END)"
