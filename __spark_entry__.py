@@ -688,6 +688,26 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.35, n_cells=32)
 
 
+def q_semdedup_reuse(spark, sf_dir):
+    # Pay-once-assign-twice (VERDICT r4 task 4): the centroid assignment —
+    # the dominant term at scale — is computed ONCE by ivf_assign (two-level
+    # coarse→children walk at n_cells=32 ≥ HIER_MIN_CELLS), localCheckpointed,
+    # then reused both as the ANN index's cell populations AND as SemDeDup's
+    # clustering (`assigned=`), whose kept flag is the curation keep-list.
+    # Subsumes `semdedup` (tail): same rows + flag, plus cell_n from the
+    # shared assignment. tests/test_plan_shapes.py pins that the composed
+    # plan re-derives NO assignment (no cross/nested-loop join survives the
+    # checkpoint boundary).
+    from docling_spark.ops.similarity import ivf_assign, semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, n_cells=32).localCheckpoint(eager=False)
+    pop = assigned.groupBy("cell").agg(F.count("*").alias("cell_n"))
+    sd = semdedup(emb, threshold=0.35, n_cells=32, assigned=assigned)
+    return sd.join(pop, "cell").select(
+        "vec_id", "cell", "cell_n", "cent_cos_e6", "kept")
+
+
 def q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition signals as exact integers
     from docling_spark.ops.textstats import repetition_stats
@@ -696,11 +716,19 @@ def q_repetition_stats(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    # simhash hamming-≤k pair search via pigeonhole block join (no all-pairs);
-    # library default = scale-safe Manku WWW'07 geometry (64-bit, 16-bit blocks)
+    # simhash hamming-≤k pair search via pigeonhole block join (no
+    # all-pairs) at BOTH widths: the Manku WWW'07 64-bit geometry (16-bit
+    # blocks) and the round-5 128-bit two-long variant (32-bit blocks —
+    # the width knob the sf1 scale-step instrument recommends when the
+    # 64-bit collision ratio stops falling with N). One oracle covers both.
     from docling_spark.ops.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    p64 = simhash_neardup_pairs(docs).withColumn(
+        "bits", F.lit(64).cast("long"))
+    p128 = simhash_neardup_pairs(docs, bits=128).withColumn(
+        "bits", F.lit(128).cast("long"))
+    return p64.unionByName(p128)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1378,11 +1406,13 @@ def q_azure_sink(spark, sf_dir):
 
 def q_code_chunks(spark, sf_dir):
     """K6 — per-language code chunker (reference code_chunking/, 1,664 LoC
-    tree-sitter): stdlib-ast Python chunker reproducing the reference's
-    chunk composition (used imports + used module variables + class
-    context prepended, docstrings hoisted to metadata, orphan-gap preamble
-    chunks, copyright comments dropped), brace-splitter fallback for
-    C/JS/Java/TS. Oracle: committed single-process fixture
+    tree-sitter): stdlib-ast Python chunker and a structural (mask +
+    brace-tree) Java chunker, both reproducing the reference's chunk
+    composition (used imports + module-variable/class-field context
+    prepended, class signature + fields + static init + constructor as
+    method context, doc comments hoisted to metadata, orphan-gap preamble
+    chunks, copyright comments dropped); brace-splitter fallback for
+    C/JS/TS. Oracle: committed single-process fixture
     (tools/gen_code_chunk_fixture.py), semantics hand-pinned by
     tests/test_code_chunker.py."""
     from docling_spark.operators.code_chunker import code_chunk_sink, synth_code_rows
@@ -1628,6 +1658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `substring_dedup`, `minhash_dup_groups` ⊂ `neardup_curation`
     (CC over verified pairs), chunk_export_{md,json} ⊂ the rag variant,
     multimodal per-modality features ⊂ `multimodal_neardup`,
+    `semdedup` ⊂ `semdedup_reuse` (round 5: same rows + kept flag, plus
+    the shared-assignment cell populations — the pay-once-assign-twice
+    composition),
     `extract_kind_histogram` ⊂ `extract_normalized` (a count rollup over
     the same normalized parquet its oracle reads), plus TPC-shape filler
     and `token_set_ops` (E6 array set-op demo, driver-certified green
@@ -1636,10 +1669,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     judge-run oracle gate), `gopher_rules` (rule-battery variant of the
     in-window quality/curation family) and `bm25_topk` (retrieval
     scoring) and `sequence_pack` (training-layout bookkeeping). As of
-    round 4 ALL 85 entries carry full rows+schema+hash
+    round 4 ALL entries carry full rows+schema+hash
     oracles (multimodal and code_chunks via committed single-process
     fixtures); the local stand-in gate
     (`tools/check_oracle_parity.py`) covers all of them.
+
+    Explicit tail roster (each ⊂ a window entry, or rotated filler —
+    tests/test_query_registry.py pins this list and the window families):
+    `pricing_summary` `topk_revenue` `signup_funnel` `json_props`
+    `local_supplier_volume` `parts_by_type` (TPC-shape filler, driver-
+    certified green in earlier rounds), `minhash_signature`
+    `minhash_band_pairs` `minhash_verified_pairs` `minhash_candidate_ratio`
+    `minhash_dup_groups` ⊂ `neardup_curation`, `simhash` ⊂
+    `simhash_neardup`, `ann_lsh_buckets` `ann_cosine_topk` `ann_ivf_topk`
+    `ann_ivf_kmeans_topk` `ann_ivfpq_topk` `ann_bucketed_topk` ⊂
+    `ann_recall`, `ivf_cells` ⊂ `semdedup_reuse` (same assignment
+    operator), `multimodal_image_features` `multimodal_audio_features`
+    `multimodal_frame_sample` ⊂ `multimodal_neardup`, `markdown_sink` ⊂
+    `formatted_markdown`, `extract_kind_histogram` ⊂ `extract_normalized`,
+    `token_set_ops` (rotated), `doctags_sink` ⊂ `doctags_roundtrip`,
+    `chunk_export_md` `chunk_export_json` ⊂ `chunk_export_rag`,
+    `curation_pipeline` `shared_windows` ⊂ `curation_e2e`/
+    `substring_dedup`, `gopher_rules` `bm25_topk` `sequence_pack`
+    `c4_clean_sentences` ⊂ `corpus_pipeline`… which itself composes five
+    window-gated stages, `semdedup` ⊂ `semdedup_reuse`.
     """
     return {
         # -- window (first 50): one entry per operator family, all fully
@@ -1669,7 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "stratified_sample": q_stratified_sample,
-        "semdedup": q_semdedup,
+        "semdedup_reuse": q_semdedup_reuse,
         "ann_recall": q_ann_recall,
         "embedding_neardup": q_embedding_neardup,
         "chunk_split": q_chunk_split,
@@ -1731,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_sentences": q_c4_clean_sentences,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "corpus_pipeline": q_corpus_pipeline,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2000,14 +2054,14 @@ def _duck_ngram_jaccard_sql() -> str:
     """
 
 
-def _duck_simhash_fold(bits: int) -> str:
-    """Packed simhash expression over an `eh` extended-token-hash list column
+def _duck_simhash_fold(bits: int, col: str = "eh") -> str:
+    """Packed simhash expression over a `col` extended-token-hash list column
     — mirrors ops.dedup.simhash bit-for-bit (mask votes, bit 63 = -2^63)."""
     terms = []
     for j in range(bits):
         mask = P.simhash_bit_mask_lit(j)
         vote = (
-            f"list_sum(list_transform(eh, h -> CASE WHEN (h & {mask}) != 0 "
+            f"list_sum(list_transform({col}, h -> CASE WHEN (h & {mask}) != 0 "
             f"THEN 1 ELSE -1 END))"
         )
         terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({mask} AS BIGINT) ELSE 0 END)")
@@ -2049,6 +2103,49 @@ def _duck_simhash_neardup_sql(bits: int = 64, max_hamming: int = 3) -> str:
           ON a.block_id = b.block_id AND a.block_val = b.block_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _duck_simhash128_neardup_sql(max_hamming: int = 3) -> str:
+    """128-bit (two-long) simhash near-dup oracle: two independent limb
+    families → (simhash_lo, simhash_hi), 32-bit pigeonhole blocks (two per
+    long), hamming = popcount(xor lo) + popcount(xor hi)."""
+    th = P.token_hashes_duck("text")
+    ext0 = P.simhash_ext_duck("h", fam=0)
+    ext1 = P.simhash_ext_duck("h", fam=1)
+    lo_fold = _duck_simhash_fold(64, "eh0")
+    hi_fold = _duck_simhash_fold(64, "eh1")
+
+    def u(col: str) -> str:
+        return (f"(CAST({col} AS HUGEINT) + CASE WHEN {col} < 0 "
+                "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)")
+
+    block_rows = []
+    for b in range(max_hamming + 1):
+        col = "simhash_lo" if b < 2 else "simhash_hi"
+        lo = (b % 2) * 32
+        block_rows.append(
+            f"SELECT doc_id, simhash_lo, simhash_hi, {b} AS block_id, "
+            f"CAST(({u(col)} // {1 << lo}) % {1 << 32} AS BIGINT) AS block_val "
+            f"FROM sig"
+        )
+    blocks = " UNION ALL ".join(block_rows)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          list_transform({th}, h -> {ext0}) AS eh0,
+                          list_transform({th}, h -> {ext1}) AS eh1
+                   FROM documents),
+        sig AS (SELECT doc_id, CAST({lo_fold} AS BIGINT) AS simhash_lo,
+                       CAST({hi_fold} AS BIGINT) AS simhash_hi FROM t),
+        keyed AS ({blocks})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
+                    + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS BIGINT) AS hamming
+        FROM keyed a JOIN keyed b
+          ON a.block_id = b.block_id AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+              + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= {max_hamming}
     """
 
 
@@ -2144,8 +2241,9 @@ def _duck_bm25_sql(terms=_BM25_TERMS, k: int = 10, k1: float = 1.2,
     con = duckdb.connect()
     toks = P.tokens_duck("text")
     lt = f"list_transform({toks}, t -> lower(t))"
+    esc = lambda t: t.replace("'", "''")  # noqa: E731 — SQL-literal quote escape
     df_exprs = ", ".join(
-        f"sum(CASE WHEN list_contains({lt}, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        f"sum(CASE WHEN list_contains({lt}, '{esc(t)}') THEN 1 ELSE 0 END) AS df_{i}"
         for i, t in enumerate(terms)
     )
     row = con.sql(
@@ -2155,7 +2253,7 @@ def _duck_bm25_sql(terms=_BM25_TERMS, k: int = 10, k1: float = 1.2,
     n_docs, lsum = int(row[0]), int(row[1])
     avgdl = lsum / n_docs if n_docs else 1.0
     idf = {t: bm25_idf(n_docs, int(row[2 + i])) for i, t in enumerate(terms)}
-    tf = lambda t: f"CAST(len(list_filter({lt}, x -> x = '{t}')) AS DOUBLE)"  # noqa: E731
+    tf = lambda t: f"CAST(len(list_filter({lt}, x -> x = '{esc(t)}')) AS DOUBLE)"  # noqa: E731
     norm = (f"({_dlit(k1)} * ({_dlit(1.0 - b)} + ({_dlit(b)} * "
             f"CAST(len({toks}) AS DOUBLE)) / {_dlit(avgdl)}))")
     score = "0.0e0"
@@ -2329,15 +2427,19 @@ def _duck_c4_sentences_sql() -> str:
     return _duck_c4_clean_sql(source=src)
 
 
-def _duck_semdedup_sql(threshold: float = 0.35, n_cells: int = 8,
-                       dim: int = 64, seed: int = 11) -> str:
-    """SemDeDup oracle — the same seeded-centroid assignment as ivf_cells,
-    within-cell cosine pairs (6dp-rounded, like the Spark side), recursive
-    transitive closure, and the keep-most-peripheral rule (min cent_cos,
-    then min id, per component)."""
+def _duck_assign_ctes(n_cells: int, dim: int, seed: int) -> str:
+    """Assignment CTE block ending in `corpus(vec_id, v, cell)` — mirrors
+    `_assign_cells` exactly, including the two-level coarse→children walk
+    that top-1 assignment takes at ≥ HIER_MIN_CELLS centroids (the tree is
+    the same driver-computed `group_centroids` output in both engines)."""
+    from docling_spark.ops.similarity import (
+        HIER_MIN_CELLS, _centroids, group_centroids,
+    )
+
+    cents_np = _centroids(n_cells, dim, seed)
     dot_vc = _duck_dot("v", "c")
-    return f"""
-        WITH RECURSIVE {_duck_ivf_cents(n_cells, dim, seed)},
+    if n_cells < HIER_MIN_CELLS:
+        return f"""{_duck_ivf_cents(n_cells, dim, seed)},
         base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         assign AS (
           SELECT vec_id, v, cell,
@@ -2345,7 +2447,47 @@ def _duck_semdedup_sql(threshold: float = 0.35, n_cells: int = 8,
                                     ORDER BY {dot_vc} DESC, cell ASC) AS rn
           FROM base CROSS JOIN cents
         ),
-        corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+        corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1)"""
+    coarse, child_of = group_centroids(cents_np, metric="dot", seed=seed)
+    coarse_rows = ", ".join(
+        f"({g}, [" + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for g, c in enumerate(coarse)
+    )
+    fine_rows = ", ".join(
+        f"({i}, {int(child_of[i])}, ["
+        + ",".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents_np)
+    )
+    return f"""coarse(grp, gc) AS (VALUES {coarse_rows}),
+        fine(cell, grp, c) AS (VALUES {fine_rows}),
+        cents AS (SELECT cell, c FROM fine),
+        base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        route AS (
+          SELECT vec_id, v, grp FROM (
+            SELECT vec_id, v, grp,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY {_duck_dot('v', 'gc')} DESC, grp ASC) AS rn1
+            FROM base CROSS JOIN coarse) WHERE rn1 = 1
+        ),
+        assign AS (
+          SELECT vec_id, v, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY {dot_vc} DESC, cell ASC) AS rn
+          FROM route JOIN fine USING (grp)
+        ),
+        corpus AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1)"""
+
+
+def _duck_semdedup_sql(threshold: float = 0.35, n_cells: int = 8,
+                       dim: int = 64, seed: int = 11) -> str:
+    """SemDeDup oracle — the same centroid assignment as the Spark side
+    (flat argmax below HIER_MIN_CELLS, two-level coarse→children walk at or
+    above it — `_duck_assign_ctes`), within-cell cosine pairs (6dp-rounded,
+    like the Spark side), recursive transitive closure, and the
+    keep-most-peripheral rule (min cent_cos, then min id, per component)."""
+    dot_vc = _duck_dot("v", "c")
+    return f"""
+        WITH RECURSIVE {_duck_assign_ctes(n_cells, dim, seed)},
         wc AS (
           SELECT vec_id, cell, v,
                  round({dot_vc} / sqrt({_duck_dot('v', 'v')} * {_duck_dot('c', 'c')}), 6)
@@ -2382,6 +2524,19 @@ def _duck_semdedup_sql(threshold: float = 0.35, n_cells: int = 8,
         FROM wc w
         LEFT JOIN comp c USING (vec_id)
         LEFT JOIN win n ON n.component_id = c.component_id
+    """
+
+
+def _duck_semdedup_reuse_sql(n_cells: int = 32) -> str:
+    """semdedup_reuse oracle: the full semdedup relation (assignment is the
+    single `corpus` CTE inside it — computed once, exactly like the Spark
+    side's localCheckpointed ivf_assign) joined with the per-cell
+    populations derived from the SAME relation."""
+    return f"""
+        WITH sd AS ({_duck_semdedup_sql(n_cells=n_cells)}),
+        pop AS (SELECT cell, count(*) AS cell_n FROM sd GROUP BY cell)
+        SELECT sd.vec_id, sd.cell, pop.cell_n, sd.cent_cos_e6, sd.kept
+        FROM sd JOIN pop USING (cell)
     """
 
 
@@ -2886,6 +3041,64 @@ def _duck_law_chunks_sql() -> str:
 
 
 _DUCK_TOK_CT = "len(regexp_extract_all({}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))"
+_DUCK_TOK_RE = "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'"
+
+
+def _duck_tok_ct_builder():
+    """Token-count SQL builder matching the Spark side's counter.
+
+    Default (round 5): the committed-vocab BPE. BPE itself is not
+    SQL-expressible, but its counts are ADDITIVE across pretokens (merges
+    never cross the pretoken regex), so the oracle receives the
+    per-pretoken counts as a MAP literal — computed once on the driver by
+    the same committed encoder, over the pretoken vocabulary extracted
+    from the very parquet the query reads. Driver-derived query parameter,
+    same discipline as the k-means centroid VALUES tables and the bm25 idf
+    literals: what the oracle then verifies independently is the
+    distributed pack/split/merge budget arithmetic. OOV lookups fall back
+    to len(t) for SQL totality only — unreachable, since the vocab covers
+    every pretoken of the input by construction.
+
+    The map literal lives in a ONE-ROW CTE (`_bp AS (SELECT MAP{...} AS
+    bpemap)`) cross-joined where counting happens, and lambdas reference
+    the `bpemap` COLUMN — a literal that size placed inside a lambda body
+    would be rebuilt per element (measured: catastrophic), while a column
+    reference is built once.
+
+    DOCLING_TOKEN_COUNTER=regex keeps the plain pretoken count on both
+    sides (the escape hatch / differential baseline).
+
+    Returns (params_cte_sql, ct) — prepend the CTE to the WITH list and
+    cross-join `_bp` in every CTE whose expressions call ct()."""
+    if os.environ.get("DOCLING_TOKEN_COUNTER") == "regex":
+        return "_bp AS (SELECT 1 AS bpemap)", _DUCK_TOK_CT.format
+
+    import duckdb
+
+    from docling_spark.functions.bpe import bpe_count_map
+
+    sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _normalized_path(sf_dir)
+    con = duckdb.connect()
+    toks = [r[0] for r in con.sql(
+        f"SELECT DISTINCT unnest(regexp_extract_all(s.text, {_DUCK_TOK_RE})) AS t "
+        f"FROM (SELECT unnest(spans) AS s FROM read_parquet('{path}'))"
+    ).fetchall()]
+    con.close()
+    cmap = bpe_count_map(sorted(toks))
+    entries = ", ".join(
+        "'" + k.replace("'", "''") + f"': {v}" for k, v in sorted(cmap.items())
+    )
+    params = "_bp AS (SELECT MAP {" + entries + "} AS bpemap)"
+
+    def ct(expr: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform(regexp_extract_all({expr}, "
+            f"{_DUCK_TOK_RE}), t -> coalesce(list_extract(map_extract(bpemap, t), 1), "
+            f"len(t)))), 0)"
+        )
+
+    return params, ct
 
 
 def _duck_hybrid_chunks_sql(max_tokens: int = 64) -> str:
@@ -2900,7 +3113,7 @@ def _duck_hybrid_chunks_sql(max_tokens: int = 64) -> str:
     makes the budget arithmetic fold-able."""
     sf_dir = os.environ.get("DOCLING_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = _normalized_path(sf_dir)
-    ct = _DUCK_TOK_CT.format
+    bp_cte, ct = _duck_tok_ct_builder()
 
     def finish(listexpr: str, joiner_sql: str) -> str:
         # done ++ [join(cur)] if cur else done, for acc = done ++ [chr(0)] ++ cur
@@ -2942,22 +3155,30 @@ list_reduce(
     pieces_expr = finish(line_fold, "chr(10)")
     last = "string_split(acc[len(acc)], chr(2))"
     cur = "string_split(s[1], chr(2))"
+    # field 6 of the row encoding carries the piece's content token count:
+    # counts are additive across the chr(10) join (the pretoken regex never
+    # crosses whitespace), so the merge ADDS stored counts instead of
+    # recounting — which also keeps the big bpemap literal out of this
+    # lambda (a literal there is rebuilt per element; a stored count is not)
     merge_step = f"""
   (acc, s) -> CASE
     WHEN len(acc) = 0 THEN [s[1]]
     WHEN {last}[1] = {cur}[1]
-         AND {ct(last + '[3]')} + {ct(cur + '[3]')}
+         AND CAST({last}[6] AS BIGINT) + CAST({cur}[6] AS BIGINT)
              + CAST({last}[2] AS BIGINT) <= {max_tokens}
     THEN list_concat(
            list_slice(acc, 1, len(acc) - 1),
            [{last}[1] || chr(2) || {last}[2] || chr(2)
             || {last}[3] || chr(10) || {cur}[3] || chr(2)
             || {last}[4] || chr(2)
-            || CAST(CAST({last}[5] AS BIGINT) + CAST({cur}[5] AS BIGINT) AS VARCHAR)])
+            || CAST(CAST({last}[5] AS BIGINT) + CAST({cur}[5] AS BIGINT) AS VARCHAR)
+            || chr(2)
+            || CAST(CAST({last}[6] AS BIGINT) + CAST({cur}[6] AS BIGINT) AS VARCHAR)])
     ELSE list_concat(acc, [s[1]])
   END"""
     return f"""
         WITH {_duck_chunk_folded_cte(path)},
+        {bp_cte},
         base AS (
           SELECT doc_id, seg,
                  doc_id || '/' || ltrim(coalesce(seg_ref, seg_text), '#') AS chunk_id,
@@ -2966,14 +3187,15 @@ list_reduce(
                  CAST(coalesce(list_sum(list_transform(
                       coalesce(stack, CAST([] AS VARCHAR[])),
                       h -> CAST({ct('h')} AS BIGINT))), 0) AS BIGINT) AS hlen
-          FROM folded),
+          FROM folded, _bp),
         over_pieces AS (
           SELECT *, CASE WHEN len(p0) = 0 THEN [''] ELSE p0 END AS pieces
           FROM (
             SELECT *, {pieces_expr} AS p0
-            FROM (SELECT *, CASE WHEN hlen >= {max_tokens} THEN {max_tokens}
+            FROM (SELECT base.*, bpemap,
+                       CASE WHEN hlen >= {max_tokens} THEN {max_tokens}
                        ELSE {max_tokens} - hlen END AS budget
-                  FROM base WHERE ct_content + hlen > {max_tokens})
+                  FROM base, _bp WHERE ct_content + hlen > {max_tokens})
           )),
         pre AS (
           SELECT doc_id, seg, 0 AS pidx, chunk_id, content, stack, hlen
@@ -2990,8 +3212,9 @@ list_reduce(
                  coalesce(array_to_string(stack, chr(1)), '') || chr(2)
                  || CAST(hlen AS VARCHAR) || chr(2)
                  || content || chr(2)
-                 || chunk_id || chr(2) || '1' AS row_enc
-          FROM pre),
+                 || chunk_id || chr(2) || '1' || chr(2)
+                 || CAST({ct('content')} AS VARCHAR) AS row_enc
+          FROM pre, _bp),
         merged AS (
           SELECT doc_id,
                  list_reduce(
@@ -3007,7 +3230,8 @@ list_reduce(
                parts[4] AS chunk_id,
                parts[3] AS content,
                replace(parts[1], chr(1), '|') AS headings,
-               CAST({ct('parts[3]')} + CAST(parts[2] AS BIGINT) AS BIGINT) AS n_tokens,
+               CAST(CAST(parts[6] AS BIGINT) + CAST(parts[2] AS BIGINT) AS BIGINT)
+                 AS n_tokens,
                CAST(parts[5] AS BIGINT) AS n_source_units
         FROM flat
     """
@@ -4173,6 +4397,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _duck_stratified_sample_sql(),
         "c4_clean": _duck_c4_clean_sql(),
         "semdedup": _duck_semdedup_sql(n_cells=32),
+        "semdedup_reuse": _duck_semdedup_reuse_sql(),
         "gopher_rules": _duck_gopher_sql(),
         "bm25_topk": _duck_bm25_sql(),
         "sequence_pack": _duck_sequence_pack_sql(),
@@ -4181,7 +4406,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _duck_corpus_pipeline_sql(),
         "shared_windows": _duck_shared_windows_sql(),
         "repetition_stats": _duck_repetition_sql(),
-        "simhash_neardup": _duck_simhash_neardup_sql(),
+        "simhash_neardup": f"""
+            SELECT *, CAST(64 AS BIGINT) AS bits
+            FROM ({_duck_simhash_neardup_sql()})
+            UNION ALL
+            SELECT *, CAST(128 AS BIGINT) AS bits
+            FROM ({_duck_simhash128_neardup_sql()})
+        """,
         "reference_extract": """
             WITH m AS (SELECT doc_id,
                               regexp_extract_all(text, '(table|join|window)', 1) AS refs

@@ -148,6 +148,19 @@ def run_level(spark, n_extract: int, n_docs: int) -> dict:
         "k1_collision_ratio_e9": st_k1["block_collision_ratio_e9"],
         "verified_pairs": n_pairs,
     }
+    # round-5: the width knob itself — 128-bit two-long fingerprint, 32-bit
+    # blocks at the SAME k=3; the collision ratio should fall ~2^16 vs the
+    # 64-bit geometry on this corpus (the r4 instrument's named fix)
+    wall128, rows128 = _timed(
+        lambda: simhash_block_stats(docs, bits=128).collect())
+    st128 = rows128[0].asDict()
+    level["simhash128"] = {
+        "wall_sec": round(wall128, 2),
+        "block_candidate_pairs": st128["n_block_candidate_pairs"],
+        "block_candidates_per_doc_e3": st128["block_candidates_per_doc_e3"],
+        "block_collision_ratio_e9": st128["block_collision_ratio_e9"],
+        "verified_pairs": st128["n_verified_pairs"],
+    }
 
     def curate():
         dd = remove_duplicate_substrings(docs, window=10, min_df=2).select(
@@ -193,16 +206,36 @@ def run_level(spark, n_extract: int, n_docs: int) -> dict:
     # 0.9: the planted near-dups sit at cosine ≈ 0.999, random 64-dim
     # gaussian pairs far below.
     for label, n_cells in (("fixed32", 32), ("scaled", max(32, n_docs // 156))):
-        cells = ivf_assign(emb, n_cells=n_cells, dim=64, seed=11) \
+        wall, cells = _timed(
+            lambda: ivf_assign(emb, n_cells=n_cells, dim=64, seed=11)
             .groupBy("cell").count().collect()
+        )
         pairs_in_cells = sum(c["count"] * (c["count"] - 1) // 2 for c in cells)
         all_pairs = n_docs * (n_docs - 1) // 2
         entry = {
             "n_cells": n_cells,
+            "assign_wall_sec": round(wall, 2),
             "cell_pairs_per_doc": round(pairs_in_cells / n_docs, 1),
             "cell_pair_ratio_e6": round(1e6 * pairs_in_cells / all_pairs),
         }
         if label == "scaled":
+            # round-5 instrument: the same top-1 assignment FORCED down the
+            # flat N×C path (centroids passed as a frame only, so the
+            # two-level walk can't engage) — the super-linear term the
+            # hierarchical quantizer exists to remove. Both walls appear in
+            # the health section; at cells ∝ N the hier wall should step
+            # ~linearly with N (per-doc cost √C) while the flat wall steps
+            # super-linearly (per-doc cost C).
+            from docling_spark.ops.similarity import (
+                _assign_cells, _centroid_df, _centroids)
+
+            flat_wall, _ = _timed(
+                lambda: _assign_cells(
+                    emb, n_cells, 64, 11, "vec_id", "embedding", top_n=1,
+                    cents=_centroid_df(spark, _centroids(n_cells, 64, 11)),
+                ).groupBy("cell").count().collect()
+            )
+            entry["assign_flat_wall_sec"] = round(flat_wall, 2)
             wall, kept = _timed(
                 lambda: semdedup(emb, n_cells=n_cells, threshold=0.9)
                 .filter("kept").count()
@@ -259,6 +292,14 @@ def main() -> None:
                 s["simhash"]["k1_candidates_per_doc_e3"],
                 b["simhash"]["k1_candidates_per_doc_e3"],
             ],
+            "simhash128_candidates_per_doc_e3": [
+                s["simhash128"]["block_candidates_per_doc_e3"],
+                b["simhash128"]["block_candidates_per_doc_e3"],
+            ],
+            "simhash128_ratio_e9": [
+                s["simhash128"]["block_collision_ratio_e9"],
+                b["simhash128"]["block_collision_ratio_e9"],
+            ],
             "survivor_frac": [
                 s["curation_e2e"]["survivor_frac"],
                 b["curation_e2e"]["survivor_frac"],
@@ -274,6 +315,17 @@ def main() -> None:
             "semdedup_scaled_cell_pairs_per_doc": [
                 s["semdedup_scaled"]["cell_pairs_per_doc"],
                 b["semdedup_scaled"]["cell_pairs_per_doc"],
+            ],
+            # hier vs flat assignment walls at cells ∝ N (round-5 task 1):
+            # the hier pair should step ~×10 (linear in N), the flat pair
+            # super-linearly (the removed N×C term)
+            "assign_hier_wall_sec": [
+                s["semdedup_scaled"]["assign_wall_sec"],
+                b["semdedup_scaled"]["assign_wall_sec"],
+            ],
+            "assign_flat_wall_sec": [
+                s["semdedup_scaled"]["assign_flat_wall_sec"],
+                b["semdedup_scaled"]["assign_flat_wall_sec"],
             ],
         }
     print(json.dumps(out))
@@ -330,6 +382,11 @@ def _write_history(out: dict) -> None:
         f"| simhash k=1 block candidates/doc (e3) | "
         f"{h['simhash_k1_candidates_per_doc_e3'][0]} | "
         f"{h['simhash_k1_candidates_per_doc_e3'][1]} |",
+        f"| simhash128 k=3 block candidates/doc (e3) | "
+        f"{h['simhash128_candidates_per_doc_e3'][0]} | "
+        f"{h['simhash128_candidates_per_doc_e3'][1]} |",
+        f"| simhash128 k=3 block collision ratio (e9) | "
+        f"{h['simhash128_ratio_e9'][0]} | {h['simhash128_ratio_e9'][1]} |",
         f"| curation survivor fraction | {h['survivor_frac'][0]} | "
         f"{h['survivor_frac'][1]} |",
         f"| C4 survived fraction | {h['c4_survived_frac'][0]} | "
@@ -340,6 +397,10 @@ def _write_history(out: dict) -> None:
         f"| semdedup cell pairs/doc (cells ∝ N) | "
         f"{h['semdedup_scaled_cell_pairs_per_doc'][0]} | "
         f"{h['semdedup_scaled_cell_pairs_per_doc'][1]} |",
+        f"| assignment wall, hierarchical (cells ∝ N, s) | "
+        f"{h['assign_hier_wall_sec'][0]} | {h['assign_hier_wall_sec'][1]} |",
+        f"| assignment wall, flat N×C forced (cells ∝ N, s) | "
+        f"{h['assign_flat_wall_sec'][0]} | {h['assign_flat_wall_sec'][1]} |",
         "",
         "Reading: interpret per-doc candidates together with the collision "
         "ratio. Minhash: flat per-doc, ratio falling ~1/N — healthy, keep "
