@@ -114,14 +114,23 @@ def train_centroids_kmeans(emb: DataFrame, n_cells: int = 8, dim: int = 64,
     training needs a sample, not the corpus (FAISS trains IVF quantizers on
     ~100k-1M vectors regardless of corpus size). Everything downstream
     (assign/probe) stays a distributed broadcast join."""
+    return kmeans_lloyd(
+        _ordered_sample_np(emb, sample_n, id_col, vec_col), n_cells, iters, seed)
+
+
+def _ordered_sample_np(emb: DataFrame, n: int, id_col: str,
+                       vec_col: str) -> np.ndarray:
+    """The shared bounded training sample: first `n` vectors by id (stable
+    across engines — the oracle builders read the same ordered prefix).
+    A smaller sample of the same relation is always a PREFIX of a larger
+    one, so one collect can feed several quantizers."""
     rows = (
         emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
         .orderBy(F.col(id_col))
-        .limit(sample_n)
+        .limit(n)
         .collect()
     )
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
-    return kmeans_lloyd(X, n_cells, iters, seed)
+    return np.array([r["v"] for r in rows], dtype=np.float64)
 
 
 def kmeans_lloyd(X: np.ndarray, n_cells: int, iters: int, seed: int) -> np.ndarray:
@@ -173,14 +182,8 @@ def train_centroids_l2(emb: DataFrame, n_cells: int = 8, dim: int = 64,
                        vec_col: str = "embedding") -> np.ndarray:
     """L2 k-means coarse quantizer on the same bounded ordered sample as
     train_centroids_kmeans (see its scale note)."""
-    rows = (
-        emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-        .orderBy(F.col(id_col))
-        .limit(sample_n)
-        .collect()
-    )
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
-    return kmeans_lloyd_l2(X, n_cells, iters, seed)
+    return kmeans_lloyd_l2(
+        _ordered_sample_np(emb, sample_n, id_col, vec_col), n_cells, iters, seed)
 
 
 def _centroid_df(spark, cents: np.ndarray) -> DataFrame:
@@ -237,10 +240,11 @@ def _assign_cells_hier(emb: DataFrame, cents_np: np.ndarray, id_col: str,
                        vec_col: str, metric: str, seed: int) -> DataFrame:
     """Two-level top-1 assignment: argbest over √C coarse groups, then
     argbest over that group's children only. Both levels are broadcast
-    joins; both windows partition by `id_col`, so the second reuses the
-    first's hash exchange (one shuffle of N×√C scored rows total vs the
-    flat path's N×C). Same tie-breaks as the flat path (best score, then
-    lowest cell). Emits (id, v, cell, rn=1) — the flat path's schema."""
+    joins into a map-side-combinable argbest AGGREGATE (`_argbest_agg`) —
+    at most one partial winner per (id, partition) ever shuffles, vs the
+    flat window form's N×C scored-row exchange+sort. Same tie-breaks as
+    the flat path (best score, then lowest cell). Emits
+    (id, v, cell, rn=1) — the flat path's schema."""
     spark = emb.sparkSession
     coarse, child_of = group_centroids(cents_np, metric=metric, seed=seed)
     coarse_df = spark.createDataFrame(
@@ -251,29 +255,17 @@ def _assign_cells_hier(emb: DataFrame, cents_np: np.ndarray, id_col: str,
          for i, c in enumerate(cents_np)],
         "cell long, grp long, c array<double>")
     base = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    if metric == "l2":
-        d1 = _sqdist("v", "gc")
-        w1 = Window.partitionBy(id_col).orderBy(F.col("d1").asc(), F.col("grp").asc())
-    else:
-        d1 = _dot("v", "gc")
-        w1 = Window.partitionBy(id_col).orderBy(F.col("d1").desc(), F.col("grp").asc())
-    routed = (
-        base.crossJoin(F.broadcast(coarse_df)).withColumn("d1", d1)
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") == 1)
-        .select(id_col, "v", "grp")
-    )
-    if metric == "l2":
-        d2 = _sqdist("v", "c")
-        w2 = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cell").asc())
-    else:
-        d2 = _dot("v", "c")
-        w2 = Window.partitionBy(id_col).orderBy(F.col("d").desc(), F.col("cell").asc())
-    return (
-        routed.join(F.broadcast(fine_df), "grp").withColumn("d", d2)
-        .withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), "v", "cell", "rn")
+    d1 = _sqdist("v", "gc") if metric == "l2" else _dot("v", "gc")
+    routed = _argbest_agg(
+        base.crossJoin(F.broadcast(coarse_df))
+        .select(id_col, "v", F.col("grp").alias("cell"), d1.alias("d")),
+        id_col, metric,
+    ).select(id_col, "v", F.col("cell").alias("grp"))
+    d2 = _sqdist("v", "c") if metric == "l2" else _dot("v", "c")
+    return _argbest_agg(
+        routed.join(F.broadcast(fine_df), "grp")
+        .select(id_col, F.col("v"), "cell", d2.alias("d")),
+        id_col, metric,
     )
 
 
@@ -307,11 +299,35 @@ def _assign_cells(emb: DataFrame, n_cells: int, dim: int, seed: int,
     else:
         scored = base.crossJoin(F.broadcast(cents)).withColumn("d", _dot("v", "c"))
         w = Window.partitionBy(id_col).orderBy(F.col("d").desc(), F.col("cell").asc())
+    if top_n == 1:
+        # argbest as a map-side-combinable aggregate instead of a window:
+        # the window form exchanges AND sorts all N×C scored rows; the agg
+        # shuffles at most one partial winner per (id, partition). Same
+        # selection: min/max of struct(d, cell, …) = best d, then lowest
+        # cell (negated for max), then v — never reached, cell is unique.
+        return _argbest_agg(scored, id_col, metric)
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_n)
         .select(F.col(id_col), "v", "cell", "rn")
     )
+
+
+def _argbest_agg(scored: DataFrame, id_col: str, metric: str) -> DataFrame:
+    """(id, v, cell, rn=1) from (id, v, cell, d) — per-id argbest via one
+    hash aggregate. Tie-break matches the window form: best d, then lowest
+    cell (struct comparison; for the max/dot case cell enters negated so
+    the max still prefers the LOWEST cell)."""
+    if metric == "l2":
+        w = F.min(F.struct(F.col("d"), F.col("cell"), F.col("v")))
+        pick = scored.groupBy(id_col).agg(w.alias("w")).select(
+            F.col(id_col), F.col("w.v").alias("v"), F.col("w.cell").alias("cell"))
+    else:
+        w = F.max(F.struct(F.col("d"), (-F.col("cell")).alias("nc"), F.col("v")))
+        pick = scored.groupBy(id_col).agg(w.alias("w")).select(
+            F.col(id_col), F.col("w.v").alias("v"),
+            (-F.col("w.nc")).alias("cell"))
+    return pick.withColumn("rn", F.lit(1))
 
 
 def ivf_assign(emb: DataFrame, n_cells: int = 8, dim: int = 64, seed: int = 11,
@@ -492,10 +508,17 @@ def pq_lloyd(X: np.ndarray, m: int, k: int, iters: int, seed: int) -> np.ndarray
         for _ in range(iters):
             d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)
+            # group by STABLE sort instead of k boolean masks (the Python
+            # mask loop dominated training wall). Bit-exactness: a stable
+            # grouping preserves each member set's original row order, so
+            # .mean() sees the identical array and rounds identically.
+            order = np.argsort(assign, kind="stable")
+            bounds = np.searchsorted(assign[order], np.arange(k + 1))
+            Ss = S[order]
             for c in range(k):
-                members = S[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+                lo, hi = bounds[c], bounds[c + 1]
+                if hi > lo:
+                    cents[c] = Ss[lo:hi].mean(axis=0)
                 else:
                     cents[c] = S[rng.randint(n)]
         books[j] = cents
@@ -525,13 +548,7 @@ def train_pq_codebooks(emb: DataFrame, m: int = 4, nbits: int = 4,
     train_centroids_kmeans: quantizers train on a sample, never the
     corpus). With `cents` the books train on coarse-cell RESIDUALS
     (FAISS IndexIVFPQ proper); without, on the raw vectors."""
-    rows = (
-        emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-        .orderBy(F.col(id_col))
-        .limit(sample_n)
-        .collect()
-    )
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = _ordered_sample_np(emb, sample_n, id_col, vec_col)
     if cents is not None:
         X = residualize(X, cents, metric)
     return pq_lloyd(X, m, 2 ** nbits, iters, seed)
@@ -674,25 +691,36 @@ def ann_ivfpq_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
     coarse_metric="l2" codes raw vectors over the SAME L2 cells, the
     controlled flat-vs-residual comparison ann_recall reports."""
     metric = coarse_metric or ("l2" if residual else "dot")
+    # ONE ordered-sample collect feeds both quantizers: the PQ sample
+    # (orderBy id, limit 2048) is by construction a prefix of the coarse
+    # sample (same ordering, limit 10k), so slicing the collected array
+    # is bit-identical to a second collect — and halves the training jobs
+    # (profiled: per-call training was ~45% of the r4 query wall)
+    X = None
+    if centroids is None or codebooks is None:
+        X = _ordered_sample_np(emb, 10_000, id_col, vec_col)
     if centroids is not None:
         cent_arr = centroids
     elif metric == "l2":
-        cent_arr = train_centroids_l2(
-            emb, n_cells, dim, coarse_iters, 10_000, seed, id_col, vec_col
-        )
+        cent_arr = kmeans_lloyd_l2(X, n_cells, coarse_iters, seed)
     else:
         cent_arr = _centroids(n_cells, dim, seed)
     if codebooks is None:
-        codebooks = train_pq_codebooks(
-            emb, m, nbits, dim, pq_iters, pq_sample, pq_seed, id_col, vec_col,
-            cents=cent_arr if residual else None, metric=metric,
-        )
+        Xpq = X[:pq_sample]
+        if residual:
+            Xpq = residualize(Xpq, cent_arr, metric)
+        codebooks = pq_lloyd(Xpq, m, 2 ** nbits, pq_iters, pq_seed)
     cents = _centroid_df(emb.sparkSession, cent_arr)
-    assign = _assign_cells(
-        emb, n_cells, dim, seed, id_col, vec_col, top_n=n_probe, cents=cents,
+    # corpus takes the top-1 AGGREGATE path (no N×C window exchange+sort);
+    # only the handful of query vectors pay the top-n_probe window
+    corpus = _assign_cells(
+        emb, n_cells, dim, seed, id_col, vec_col, top_n=1, cents=cents,
         metric=metric,
+    ).select(F.col(id_col), "v", "cell")
+    assign = _assign_cells(
+        emb.filter(F.col(id_col).isin(list(query_ids))), n_cells, dim, seed,
+        id_col, vec_col, top_n=n_probe, cents=cents, metric=metric,
     )
-    corpus = assign.filter(F.col("rn") == 1).select(F.col(id_col), "v", "cell")
     code_vec = "v"
     if residual:
         # re-center against the OWN cell's centroid (broadcast join, then
@@ -705,9 +733,8 @@ def ann_ivfpq_topk(emb: DataFrame, query_ids, k: int = 10, n_cells: int = 8,
     codes = pq_codes(
         corpus, codebooks, id_col, vec_col=code_vec, keep=["cell"]
     ).alias("c")
-    q_probed = (
-        assign.filter(F.col(id_col).isin(list(query_ids)))
-        .select(F.col(id_col).alias("query_id"), F.col("v").alias("q"), "cell")
+    q_probed = assign.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("q"), "cell"
     )
     adc_q = "q"
     if residual:
