@@ -721,13 +721,19 @@ def q_simhash_neardup(spark, sf_dir):
     # blocks) and the round-5 128-bit two-long variant (32-bit blocks —
     # the width knob the sf1 scale-step instrument recommends when the
     # 64-bit collision ratio stops falling with N). One oracle covers both.
-    from docling_spark.ops.dedup import simhash_neardup_pairs
+    from docling_spark.ops.dedup import hamming_pairs, simhash128
 
     docs = _t(spark, sf_dir, "documents")
-    p64 = simhash_neardup_pairs(docs).withColumn(
-        "bits", F.lit(64).cast("long"))
-    p128 = simhash_neardup_pairs(docs, bits=128).withColumn(
-        "bits", F.lit(128).cast("long"))
+    # one signature pass serves BOTH widths: the 128-bit fingerprint's low
+    # long is computed with limb family 0, i.e. it IS the 64-bit simhash
+    sig = simhash128(docs).localCheckpoint(eager=False)
+    p64 = hamming_pairs(
+        sig.select("doc_id", F.col("simhash_lo").alias("simhash")),
+        "doc_id", "simhash", 64, 3,
+    ).withColumn("bits", F.lit(64).cast("long"))
+    p128 = hamming_pairs(
+        sig, "doc_id", ["simhash_lo", "simhash_hi"], 128, 3,
+    ).withColumn("bits", F.lit(128).cast("long"))
     return p64.unionByName(p128)
 
 

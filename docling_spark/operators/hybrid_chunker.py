@@ -24,11 +24,13 @@ shape as every other stage.
 
 from __future__ import annotations
 
+import os as _os
 import re
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import pandas as pd
 
+from docling_spark.functions.bpe import bpe_count as _bpe_count
 from docling_spark.operators.serialize import chunk_document, _iter_spans
 
 HYBRID_CHUNK_DDL = (
@@ -87,13 +89,9 @@ def count_tokens(text: str) -> int:
     tok = _hf_tokenizer()
     if tok is not None:
         return len(tok.encode(text).ids)
-    import os
-
-    if os.environ.get("DOCLING_TOKEN_COUNTER") == "regex":
+    if _os.environ.get("DOCLING_TOKEN_COUNTER") == "regex":
         return len(_TOKEN_RE.findall(text))
-    from docling_spark.functions.bpe import bpe_count
-
-    return bpe_count(text)
+    return _bpe_count(text)
 
 
 def _chunk_tokens(content: str, headings: Sequence[str]) -> int:
@@ -175,31 +173,41 @@ def hybrid_chunk_document(
     Deterministic pure function; returns HYBRID_CHUNK_DDL tuples."""
     base = chunk_document(doc_id, spans, level=level)
 
-    # K2/K3: explode oversize units
-    pre: List[tuple] = []  # (chunk_id, content, headings, n_units)
+    # K2/K3: explode oversize units. Each piece carries its CONTENT token
+    # count and its headings' count — counts are additive across the \n
+    # delimiter (pretokens never span whitespace), so the K4 merge below
+    # ADDS stored counts instead of recounting the growing merged string
+    # (which was O(len²) in counter calls — the DuckDB oracle threads the
+    # same stored count through its merge fold)
+    pre: List[tuple] = []  # (chunk_id, content, headings, n_units, ct, hlen)
     for _doc, chunk_id, _lvl, content, headings, _clen in base:
-        if _chunk_tokens(content, headings) <= max_tokens:
-            pre.append((chunk_id, content, list(headings), 1))
+        headings = list(headings)
+        hlen = sum(count_tokens(h) for h in headings)
+        ct = count_tokens(content)
+        if ct + hlen <= max_tokens:
+            pre.append((chunk_id, content, headings, 1, ct, hlen))
         else:
             pieces, eff_headings = _split_oversize(content, headings, max_tokens)
+            eff_hlen = sum(count_tokens(h) for h in eff_headings)
             for i, piece in enumerate(pieces):
-                pre.append((f"{chunk_id}/s{i}", piece, list(eff_headings), 1))
+                pre.append((f"{chunk_id}/s{i}", piece, list(eff_headings), 1,
+                            count_tokens(piece), eff_hlen))
 
     # K4: merge adjacent chunks with identical headings while under budget
     merged: List[tuple] = []
-    for chunk_id, content, headings, n_units in pre:
+    for chunk_id, content, headings, n_units, ct, hlen in pre:
         if merged:
-            m_id, m_content, m_headings, m_units = merged[-1]
-            cand = m_content + _DELIM + content
-            if m_headings == headings and _chunk_tokens(cand, headings) <= max_tokens:
-                merged[-1] = (m_id, cand, m_headings, m_units + n_units)
+            m_id, m_content, m_headings, m_units, m_ct, m_hlen = merged[-1]
+            if m_headings == headings and m_ct + ct + hlen <= max_tokens:
+                merged[-1] = (m_id, m_content + _DELIM + content, m_headings,
+                              m_units + n_units, m_ct + ct, m_hlen)
                 continue
-        merged.append((chunk_id, content, headings, n_units))
+        merged.append((chunk_id, content, headings, n_units, ct, hlen))
 
     return [
-        (doc_id, i, chunk_id, content, headings,
-         _chunk_tokens(content, headings), n_units)
-        for i, (chunk_id, content, headings, n_units) in enumerate(merged)
+        (doc_id, i, chunk_id, content, headings, ct + hlen, n_units)
+        for i, (chunk_id, content, headings, n_units, ct, hlen)
+        in enumerate(merged)
     ]
 
 

@@ -330,18 +330,24 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
                    id_b: str = "id_b", max_iters: int = 50,
                    algorithm: str = "auto",
                    on_nonconverged: str = "raise",
-                   switch_after: int = 8) -> DataFrame:
+                   switch_after: int = 8,
+                   driver_max_pairs: int = 2_000_000) -> DataFrame:
     """Connected components over a duplicate-pair edge list →
     (doc_id, component_id) where component_id = min doc_id in the group.
 
-    `algorithm="auto"` (default): min-label propagation with a round
-    budget of `switch_after`; if no fixpoint by then — the diameter
-    pre-check, observed not guessed — fall back to the O(log n) star
-    contraction for the full `max_iters`. Near-dup graphs are unions of
-    small cliques that converge in 2-3 rounds, so the common case pays
-    zero overhead; a chain/mega-component costs `switch_after` wasted
-    rounds once, instead of raising after `max_iters` and making the
-    caller re-dispatch.
+    `algorithm="auto"` (default) first materializes the pair list and
+    counts it. At or under `driver_max_pairs` (default 2M ≈ 32 MB — the
+    same bounded-collect discipline as the k-means training samples) the
+    components come from a DRIVER union-find: the pair list is the
+    already-reduced output of the dedup miners, and a multi-round Spark
+    join loop on a few hundred thousand edges pays tens of scheduling
+    round-trips for work a union-find finishes in milliseconds — the
+    label-prop loop on a 524-edge list measured 12 s of pure round
+    overhead. Above the bound (the true 100-TB regime) the distributed
+    path engages: min-label propagation with a round budget of
+    `switch_after`; if no fixpoint by then — the diameter pre-check,
+    observed not guessed — fall back to the O(log n) star contraction
+    for the full `max_iters`.
 
     `algorithm="label_prop"`: iterative min-label propagation only — each
     node repeatedly adopts the smallest label among itself and its
@@ -361,6 +367,10 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
     or "warn" (log and return the partial labels)."""
     if algorithm == "star":
         return _dup_components_star(pairs, id_a, id_b, max_iters, on_nonconverged)
+    if algorithm == "auto":
+        pairs = pairs.localCheckpoint()  # compute the upstream miners once
+        if pairs.count() <= driver_max_pairs:
+            return _dup_components_driver(pairs, id_a, id_b)
     budget = min(switch_after, max_iters) if algorithm == "auto" else max_iters
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -411,6 +421,34 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+def _dup_components_driver(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Union-find over a collected (bounded — see dup_components) pair
+    list; exact same output contract: component_id = min node id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = pairs.select(id_a, id_b).collect()
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            parent[max(a, b)] = min(a, b)  # min-id root ⇒ min-id component
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    out = [(n, find(n)) for n in nodes]
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = pairs.schema[id_a].dataType
+    schema = StructType([StructField("doc_id", id_type),
+                         StructField("component_id", id_type)])
+    return pairs.sparkSession.createDataFrame(out, schema)
 
 
 def _nonconverged(max_iters: int, action: str) -> None:
@@ -572,29 +610,29 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     has only ~30 live bits (mod 1e9+7), so each token is first expanded to
     a full 64-bit value via four universal-hash limbs
     (`portable.simhash_ext_spark`) — materialized ONCE per token as a
-    column, then each bit's majority vote is a cheap mask-test fold (no
-    per-bit rehash). Bit 63 rides the sign bit (two's complement), which
-    both engines' BIGINT share, so the packed value stays oracle-exact."""
+    column. Bit votes run as an EXPLODED whole-stage-codegen aggregate
+    (`bits` conditional sums with map-side combine), not as per-bit
+    interpreted array folds — same integer votes, ~3× less wall: higher-
+    order functions evaluate interpreted, and `bits` separate folds each
+    re-walked the token array. Bit 63 rides the sign bit (two's
+    complement), which both engines' BIGINT share, so the packed value
+    stays oracle-exact. Docs with no tokens keep all votes ≤ 0 (the
+    explode_outer NULL row takes every -1 branch) ⇒ simhash 0, exactly
+    like the old empty-fold form."""
     ext = P.simhash_ext_spark("h")
     d = docs.select(
         F.col(id_col),
         F.expr(f"transform({P.token_hashes_spark(text_col)}, h -> {ext})").alias("_eh"),
     )
-    terms = []
+    e = d.select(F.col(id_col), F.explode_outer("_eh").alias("h"))
+    total = None
     for j in range(bits):
         mask_lit = P.simhash_bit_mask_lit(j)
-        # vote for bit j: +1 if set in the extended token hash, -1 otherwise
-        vote = F.expr(
-            f"aggregate(_eh, 0L, (acc, h) -> acc + "
-            f"(CASE WHEN (h & {mask_lit}) != 0 THEN 1 ELSE -1 END))"
-        )
-        terms.append(
-            F.when(vote > 0, F.lit(P.simhash_bit_mask(j))).otherwise(F.lit(0))
-        )
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
-    return d.select(F.col(id_col), total.cast("long").alias("simhash"))
+        vote = F.sum(
+            F.when(F.expr(f"(h & {mask_lit}) != 0"), 1).otherwise(-1))
+        term = F.when(vote > 0, F.lit(P.simhash_bit_mask(j))).otherwise(F.lit(0))
+        total = term if total is None else total + term
+    return e.groupBy(id_col).agg(total.cast("long").alias("simhash"))
 
 
 def simhash128(docs: DataFrame, id_col: str = "doc_id",
@@ -618,26 +656,25 @@ def simhash128(docs: DataFrame, id_col: str = "doc_id",
         F.expr(f"transform({P.token_hashes_spark(text_col)}, h -> {ext0})").alias("_eh0"),
         F.expr(f"transform({P.token_hashes_spark(text_col)}, h -> {ext1})").alias("_eh1"),
     )
+    # one explode of the zipped limb pairs feeds BOTH longs' 64 vote sums
+    # (the same exploded-codegen-aggregate shape as `simhash` — see there)
+    e = d.select(
+        F.col(id_col),
+        F.explode_outer(F.arrays_zip("_eh0", "_eh1")).alias("z"),
+    ).select(id_col, F.col("z._eh0").alias("h0"), F.col("z._eh1").alias("h1"))
 
-    def fold(eh_col: str) -> F.Column:
-        terms = []
+    def fold(h_col: str) -> F.Column:
+        total = None
         for j in range(64):
             mask_lit = P.simhash_bit_mask_lit(j)
-            vote = F.expr(
-                f"aggregate({eh_col}, 0L, (acc, h) -> acc + "
-                f"(CASE WHEN (h & {mask_lit}) != 0 THEN 1 ELSE -1 END))"
-            )
-            terms.append(
-                F.when(vote > 0, F.lit(P.simhash_bit_mask(j))).otherwise(F.lit(0))
-            )
-        total = terms[0]
-        for t in terms[1:]:
-            total = total + t
+            vote = F.sum(
+                F.when(F.expr(f"({h_col} & {mask_lit}) != 0"), 1).otherwise(-1))
+            term = F.when(vote > 0, F.lit(P.simhash_bit_mask(j))).otherwise(F.lit(0))
+            total = term if total is None else total + term
         return total.cast("long")
 
-    return d.select(
-        F.col(id_col), fold("_eh0").alias("simhash_lo"), fold("_eh1").alias("simhash_hi")
-    )
+    return e.groupBy(id_col).agg(
+        fold("h0").alias("simhash_lo"), fold("h1").alias("simhash_hi"))
 
 
 def remove_duplicate_substrings(docs: DataFrame, window: int = 10,

@@ -448,12 +448,23 @@ def test_dup_components_nonconvergence_raises_and_star_converges(spark):
         [(i, i + 1) for i in range(60)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="fixpoint"):
-        dup_components(chain, max_iters=5).collect()
+        dup_components(chain, algorithm="label_prop", max_iters=5).collect()
     with _pytest.warns(RuntimeWarning, match="fixpoint"):
-        dup_components(chain, max_iters=5, on_nonconverged="warn").collect()
+        dup_components(chain, algorithm="label_prop", max_iters=5,
+                       on_nonconverged="warn").collect()
     st = {r["doc_id"]: r["component_id"]
           for r in dup_components(chain, algorithm="star", max_iters=12).collect()}
     assert set(st.values()) == {0} and len(st) == 61
+    # auto on a small list: driver union-find — exact on any shape,
+    # no round budget involved
+    au = {r["doc_id"]: r["component_id"]
+          for r in dup_components(chain).collect()}
+    assert au == st
+    # auto ABOVE the driver bound: distributed path engages and the
+    # star fallback still converges on the chain
+    dist = {r["doc_id"]: r["component_id"]
+            for r in dup_components(chain, driver_max_pairs=10).collect()}
+    assert dist == st
 
 
 def test_neardup_curation_keeps_representative(docs, spark):
