@@ -1412,13 +1412,13 @@ def q_azure_sink(spark, sf_dir):
 
 def q_code_chunks(spark, sf_dir):
     """K6 — per-language code chunker (reference code_chunking/, 1,664 LoC
-    tree-sitter): stdlib-ast Python chunker and a structural (mask +
-    brace-tree) Java chunker, both reproducing the reference's chunk
-    composition (used imports + module-variable/class-field context
-    prepended, class signature + fields + static init + constructor as
-    method context, doc comments hoisted to metadata, orphan-gap preamble
-    chunks, copyright comments dropped); brace-splitter fallback for
-    C/JS/TS. Oracle: committed single-process fixture
+    tree-sitter): stdlib-ast Python chunker plus structural (mask +
+    brace-tree) Java AND JavaScript/TypeScript chunkers, all reproducing
+    the reference's chunk composition (used imports + module-variable/
+    class-field context prepended, class signature + fields/properties +
+    static init + constructor as method context, doc comments hoisted to
+    metadata, orphan-gap preamble chunks, copyright comments dropped);
+    brace-splitter fallback for C. Oracle: committed single-process fixture
     (tools/gen_code_chunk_fixture.py), semantics hand-pinned by
     tests/test_code_chunker.py."""
     from docling_spark.operators.code_chunker import code_chunk_sink, synth_code_rows

@@ -30,9 +30,16 @@ constants, static initializers, constructor) + the method with its
 javadoc hoisted to metadata; methodless types chunk whole; unused
 imports and stray top-level code orphan into preamble chunks.
 
-C / JavaScript / TypeScript fall back to a documented brace-matching
-top-level function splitter (same output schema, no import/variable
-context) — their tree-sitter grammars have no stdlib equivalent.
+JAVASCRIPT / TYPESCRIPT get the composition rules on the same structural
+parser (_TypeScriptFunctionChunker :1194-1278): used imports (default /
+named incl. aliases / namespace / require destructuring), arrow-function
+and function-declaration chunks, class context with properties +
+constructor, doc-comment hoisting, side-effect-import and stray-statement
+preambles; template literals are masked wholesale so ${} braces can't
+skew the brace tree.
+
+C falls back to a documented brace-matching top-level function splitter
+(same output schema, no import/variable context).
 
 Spark shape: one zero-shuffle mapInPandas over (doc_id, language, code) —
 identical to the serializer sinks; chunking is a per-document fold, so it
@@ -330,6 +337,14 @@ def _java_mask(code: str) -> Tuple[str, List[Tuple[int, int]]]:
                 if out[k] != "\n":
                     out[k] = " "
             i = j + 3
+        elif c == "`":  # JS/TS template literal — mask WHOLE body incl.
+            j = i + 1    # ${...} so interpolation braces can't skew the tree
+            while j < n and code[j] != "`":
+                j += 2 if code[j] == "\\" else 1
+            for k in range(i + 1, min(j, n)):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = min(j, n - 1) + 1
         elif c in "\"'":
             j = i + 1
             while j < n and code[j] != c:
@@ -444,13 +459,17 @@ def _java_decl_start(code: str, masked: str, hdr_start: int, open_: int,
 
 
 def _java_fields(code: str, masked: str, body_lo: int, body_hi: int,
-                 members: "List[_JBlock]") -> List[str]:
+                 members: "List[_JBlock]",
+                 passthrough: "List[_JBlock]" = ()) -> List[str]:
     """Field/constant statements of a type body: the ';'-terminated
     segments not claimed by a member block (methods, nested types, static
-    inits); expression blocks (array initializers) stay inside their
-    statement. Abstract/interface method signatures end with ';' and are
-    picked up here too — they are context, exactly like constants."""
+    inits). `passthrough` blocks (array initializers, arrow-function
+    property bodies) stay INSIDE their statement: the scan jumps over
+    their braces without splitting on the ';' they contain. Abstract/
+    interface method signatures end with ';' and are picked up here too —
+    they are context, exactly like constants."""
     claimed = [(b.hdr_start, b.close + 1) for b in members]
+    passspans = [(b.open, b.close + 1) for b in passthrough]
     fields: List[str] = []
     cursor = body_lo
     i = body_lo
@@ -459,6 +478,10 @@ def _java_fields(code: str, masked: str, body_lo: int, body_hi: int,
         if inside:
             i = inside[1]
             cursor = i
+            continue
+        inpass = next((c for c in passspans if c[0] <= i < c[1]), None)
+        if inpass:
+            i = inpass[1]  # keep cursor: the block is part of the statement
             continue
         if masked[i] == ";":
             seg = code[cursor:i + 1].strip()
@@ -470,7 +493,8 @@ def _java_fields(code: str, masked: str, body_lo: int, body_hi: int,
 
 
 def _java_type_context(code: str, masked: str, blk: "_JBlock", kind: str,
-                       comments: List[Tuple[int, int]]) -> str:
+                       comments: List[Tuple[int, int]],
+                       ctor_name: "str | None" = None) -> str:
     """additional_context_no_docstring for one type: signature + " {",
     fields/constants, static initializers, constructor, "}" —
     _build_java_class_like_context (:1555-1630). The type's own doc
@@ -480,14 +504,23 @@ def _java_type_context(code: str, masked: str, blk: "_JBlock", kind: str,
     sig = code[decl_start:blk.open].strip()
     members = blk.children
     inner_parts: List[str] = []
-    inner_parts.extend(_java_fields(code, masked, blk.open + 1, blk.close, members))
+    # expr blocks (array initializers, arrow-function properties) are PART
+    # of a field statement — only real members claim spans away from the
+    # field scan; expr blocks pass through un-split
+    claiming, passthrough = [], []
+    for m in members:
+        mk = _java_classify(masked[m.hdr_start:m.open].strip())[0]
+        (passthrough if mk == "expr" else claiming).append(m)
+    inner_parts.extend(_java_fields(code, masked, blk.open + 1, blk.close,
+                                    claiming, passthrough))
     for m in members:
         mk, mname = _java_classify(masked[m.hdr_start:m.open].strip())
         if mk == "static_init":
             inner_parts.append(code[_java_decl_start(code, masked, m.hdr_start, m.open, None):m.close + 1].strip())
-    # constructor: a method whose name matches the type name
+    # constructor: a method whose name matches the type name (Java) or the
+    # literal `constructor` keyword (JS/TS classes — ctor_name override)
     tm = _JAVA_TYPE_RE.search(sig)
-    tname = tm.group(2) if tm else ""
+    tname = ctor_name if ctor_name is not None else (tm.group(2) if tm else "")
     for m in members:
         mk, mname = _java_classify(masked[m.hdr_start:m.open].strip())
         if mk == "method" and mname == tname:
@@ -635,6 +668,172 @@ def _chunk_rows_java(code: str) -> List[tuple]:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# JavaScript / TypeScript: the same composition rules on the same structural
+# parser (_TypeScriptFunctionChunker/_JavaScriptFunctionChunker,
+# :1194-1278): per-function chunks carry the imports they use; class methods
+# carry the class context (signature + fields/properties + constructor);
+# doc comments hoist; methodless classes chunk whole; unclaimed top-level
+# statements and side-effect imports orphan into preambles. No module
+# variables (the reference: TS/JS have none) and no package prefix.
+# Template literals are masked wholesale so ${} braces can't skew the tree;
+# bare regex literals containing braces are the documented residual gap of
+# a non-tree-sitter lexer.
+# ---------------------------------------------------------------------------
+
+_JS_IMPORT_RE = re.compile(
+    r"^[ \t]*import\s+(?:([^'\";]+?)\s+from\s+)?['\"][^'\"]*['\"]\s*;?", re.M)
+_JS_REQUIRE_RE = re.compile(
+    r"^[ \t]*(?:export\s+)?(?:const|let|var)\s+(\{[^}]*\}|[\w$]+)\s*=\s*"
+    r"require\s*\([^)]*\)\s*;?", re.M)
+_JS_FN_DECL_RE = re.compile(r"\bfunction\s*\*?\s*([\w$]*)\s*\(")
+_JS_ASSIGN_RE = re.compile(r"\b(?:const|let|var)\s+([\w$]+)\s*=")
+
+
+def _js_import_idents(clause: str) -> List[str]:
+    """Bound identifiers of an import clause: default name, named imports
+    (BOTH original and alias — matching either counts as use), namespace
+    `* as X`, destructured require."""
+    out: List[str] = []
+    clause = clause.strip()
+    m = re.search(r"\*\s*as\s+([\w$]+)", clause)
+    if m:
+        out.append(m.group(1))
+        clause = clause.replace(m.group(0), "")
+    brace = re.search(r"\{([^}]*)\}", clause)
+    if brace:
+        for item in brace.group(1).split(","):
+            item = item.strip()
+            if not item:
+                continue
+            parts = re.split(r"\s+as\s+|\s*:\s*", item)
+            out.extend(p for p in (x.strip() for x in parts) if re.match(r"^[\w$]+$", p))
+        clause = clause[:brace.start()] + clause[brace.end():]
+    for tok in clause.split(","):
+        tok = tok.strip().rstrip(";")
+        if re.match(r"^[\w$]+$", tok) and tok not in ("type",):  # `import type {..}`
+            out.append(tok)
+    return out
+
+
+def _js_classify(hdr: str) -> Tuple[str, str]:
+    """('class'|'function'|'other', name) for a top-level JS brace block."""
+    h = hdr.strip()
+    tm = _JAVA_TYPE_RE.search(h)
+    if tm and tm.group(1) == "class" and "new" not in _javawords(h[:tm.start()]):
+        return "class", tm.group(2)
+    fm = _JS_FN_DECL_RE.search(h)
+    am = _JS_ASSIGN_RE.search(h)
+    if am and (h.endswith("=>") or (fm and fm.start() > am.start())):
+        return "function", am.group(1)       # const f = (…) => { / = function
+    if fm and not am:
+        return "function", fm.group(1) or "default"
+    return "other", ""
+
+
+def _chunk_rows_js(code: str) -> List[tuple]:
+    """(part_name, chunk_type, start, end, sig_end, docstring, content) —
+    the reference's TS/JS composition rules on the structural parser."""
+    masked, comments = _java_mask(code)
+    lines = code.split("\n")
+
+    def line_of(pos: int) -> int:
+        return code.count("\n", 0, pos) + 1
+
+    imports: dict = {}  # identifier → (start, end) of the import statement
+    for m in list(_JS_IMPORT_RE.finditer(masked)) + list(_JS_REQUIRE_RE.finditer(masked)):
+        clause = m.group(1) or ""
+        for ident in _js_import_idents(clause):
+            imports[ident] = (m.start(), m.end())
+
+    top = _java_blocks(masked, 0, len(masked))
+    rows: List[tuple] = []
+    used: List[Tuple[int, int]] = []
+    used_import_keys: set = set()
+
+    def imports_block(keys: set) -> str:
+        txts = sorted({code[imports[k][0]:imports[k][1]].strip() for k in keys})
+        return ("\n".join(txts) + "\n") if txts else ""
+
+    def used_imports_for(text: str, ctx: str) -> set:
+        words = set(_javawords(text))
+        return {k for k in imports if k in words or (ctx and k in ctx)}
+
+    def emit_function(blk: "_JBlock", cls: "tuple | None", name: str) -> None:
+        doc, doc_span = _java_doc_comment(code, comments, blk.hdr_start, blk.open)
+        decl_start = _java_decl_start(code, masked, blk.hdr_start, blk.open, doc_span)
+        body = code[decl_start:blk.close + 1]
+        ctx = ""
+        part = name
+        if cls is not None:
+            cname, cblk = cls
+            ctx = _java_type_context(code, masked, cblk, "class", comments,
+                                     ctor_name="constructor")
+            part = f"{cname}.{name}"
+        uimp = used_imports_for(masked[decl_start:blk.close + 1], ctx)
+        used_import_keys.update(uimp)
+        content = "".join([
+            imports_block(uimp), (ctx + "\n") if ctx else "", body])
+        rows.append((part, "function", line_of(decl_start), line_of(blk.close),
+                     line_of(blk.open), doc, content))
+        lo = doc_span[0] if doc_span else decl_start
+        used.append((line_of(lo), line_of(blk.close)))
+
+    for blk in top:
+        hdr = masked[blk.hdr_start:blk.open].strip()
+        kind, name = _js_classify(hdr)
+        if kind == "class":
+            methods = [
+                (m, mn) for m in blk.children
+                for mk, mn in [_java_classify(masked[m.hdr_start:m.open].strip())]
+                if mk == "method"
+            ]
+            if methods:
+                for m, mname in methods:
+                    emit_function(m, (name, blk), mname)
+                _, dspan = _java_doc_comment(code, comments, blk.hdr_start, blk.open)
+                lo = dspan[0] if dspan else _java_decl_start(
+                    code, masked, blk.hdr_start, blk.open, dspan)
+                used.append((line_of(lo), line_of(blk.close)))
+            else:  # methodless class chunks whole
+                doc, dspan = _java_doc_comment(code, comments, blk.hdr_start, blk.open)
+                decl_start = _java_decl_start(code, masked, blk.hdr_start, blk.open, dspan)
+                body = code[decl_start:blk.close + 1]
+                uimp = used_imports_for(masked[decl_start:blk.close + 1], "")
+                used_import_keys.update(uimp)
+                rows.append((name, "class", line_of(decl_start), line_of(blk.close),
+                             line_of(blk.open), doc, imports_block(uimp) + body))
+                lo = dspan[0] if dspan else decl_start
+                used.append((line_of(lo), line_of(blk.close)))
+        elif kind == "function":
+            emit_function(blk, None, name)
+
+    for k in used_import_keys:
+        a, b = imports[k]
+        used.append((line_of(a), line_of(b - 1)))
+    for a, b in comments:
+        if any(w in code[a:b].lower() for w in _COPYRIGHT_WORDS):
+            used.append((line_of(a), line_of(b - 1)))
+
+    covered = set()
+    for a, b in used:
+        covered.update(range(a, b + 1))
+    gap: List[int] = []
+    gaps: List[Tuple[int, int]] = []
+    for i in range(1, len(lines) + 1):
+        if i not in covered and lines[i - 1].strip():
+            gap.append(i)
+        elif gap:
+            gaps.append((gap[0], gap[-1]))
+            gap = []
+    if gap:
+        gaps.append((gap[0], gap[-1]))
+    for a, b in gaps:
+        rows.append(("", "preamble", a, b, a, "", _seg(lines, a, b)))
+    rows.sort(key=lambda r: (r[2], r[0]))
+    return rows
+
+
 def chunk_code_document(doc_id: str, language: str, code: str,
                         max_tokens: int = 5000) -> List[tuple]:
     """One document → CODE_CHUNK_DDL rows. Oversized chunks split on line
@@ -645,6 +844,8 @@ def chunk_code_document(doc_id: str, language: str, code: str,
         rows = _chunk_rows_python(code)
     elif lang == "java":
         rows = _chunk_rows_java(code)
+    elif lang in ("javascript", "js", "typescript", "ts"):
+        rows = _chunk_rows_js(code)
     else:
         rows = _chunk_rows_braces(code)
     out: List[tuple] = []

@@ -339,3 +339,97 @@ def test_java_interface_and_text_block():
     assert "List<String> all();" in s[8]
     assert "BANNER" in s[8]
     assert "import java.util.List;" in s[8]
+
+
+_JS_RICH = '''// Copyright 2024 Example. All rights reserved.
+import React, { useState, useEffect as ue } from 'react';
+import * as fs from 'fs';
+import './styles.css';
+const path = require('path');
+
+const LIMIT = 10;
+
+/** Greet a user. */
+export function greet(name) {
+    const [x] = useState(0);
+    return `hello ${name} ${LIMIT + x}`;
+}
+
+const area = async (r) => {
+    ue(() => {});
+    return Math.PI * r * r;
+};
+
+/** A service class. */
+export class Service {
+    baseUrl = '/api';
+    handler = () => { return fs.readFileSync(this.baseUrl); };
+
+    constructor(client) {
+        this.client = client;
+    }
+
+    async fetchAll() {
+        if (this.client) { return this.client.get(this.baseUrl); }
+        return null;
+    }
+}
+
+class Empty {
+    tag = 'e';
+}
+'''
+
+
+def test_js_composition_rules_pinned():
+    """Pins the reference's TS/JS composition rules
+    (_language_code_chunkers.py:1194-1278): named/default/namespace/require
+    import binding, arrow-function chunks, class context with properties +
+    constructor, doc hoisting, methodless classes, side-effect-import and
+    stray-statement preambles, template-literal masking."""
+    rows = chunk_code_document("d", "javascript", _JS_RICH)
+    by_part = {r[2]: r for r in rows}
+
+    g = by_part["greet"]
+    assert g[3] == "function" and g[7] == "/** Greet a user. */"
+    assert "import React, { useState, useEffect as ue } from 'react';" in g[8]
+    assert "import * as fs" not in g[8]        # unused here
+    assert "Greet a user" not in g[8]          # hoisted out of content
+    # template literal with ${} parsed through (braces masked)
+    assert "`hello ${name} ${LIMIT + x}`" in g[8]
+
+    a = by_part["area"]                         # const … = async (…) => {…}
+    assert a[3] == "function"
+    assert "useEffect as ue" in a[8]            # alias match counts as use
+
+    f = by_part["Service.fetchAll"]
+    assert "export class Service {" in f[8]
+    assert "baseUrl = '/api';" in f[8]          # class property as context
+    # arrow-function property stays ONE intact field in the context
+    assert "handler = () => { return fs.readFileSync(this.baseUrl); };" in f[8]
+    assert "constructor(client)" in f[8]        # ctor in context
+    assert "import * as fs from 'fs';" in f[8]  # used via context
+
+    c = by_part["Service.constructor"]
+    assert c[3] == "function"
+
+    e = by_part["Empty"]
+    assert e[3] == "class" and "tag = 'e';" in e[8]
+
+    pre = "\n".join(r[8] for r in rows if r[3] == "preamble")
+    assert "import './styles.css';" in pre      # side-effect import orphans
+    assert "const path = require('path');" in pre  # bound but never used
+    assert "const LIMIT = 10;" in pre           # no module vars in TS/JS
+    assert "Copyright 2024" not in pre          # copyright dropped
+
+
+def test_js_require_destructuring_and_reuse():
+    js = (
+        "const { readFile, join: pjoin } = require('node:path');\n\n"
+        "function f(p) {\n"
+        "    return pjoin(p, 'x');\n"
+        "}\n"
+    )
+    rows = chunk_code_document("d", "javascript", js)
+    f = {r[2]: r for r in rows}["f"]
+    assert "require('node:path')" in f[8]       # alias use binds the import
