@@ -3092,6 +3092,8 @@ def _duck_tok_ct_builder():
     ).fetchall()]
     con.close()
     cmap = bpe_count_map(sorted(toks))
+    if not cmap:  # span-less corpus: every ct() sees zero pretokens anyway
+        return "_bp AS (SELECT 1 AS bpemap)", _DUCK_TOK_CT.format
     entries = ", ".join(
         "'" + k.replace("'", "''") + f"': {v}" for k, v in sorted(cmap.items())
     )
