@@ -1131,3 +1131,36 @@ def test_hamming_pairs_multi_long_block_mapping(spark):
     got = hamming_pairs(far, "id", ["lo", "hi"], bits=128, max_hamming=3,
                         materialize=False).collect()
     assert got == []                             # 6 bits apart -> verified out
+
+
+def test_hier_assignment_quality_instrument(spark):
+    """The two-level tree is an APPROXIMATE router (standard IMI trade):
+    documents the measured agreement-with-flat-argmax in the two regimes,
+    and the invariant SemDeDup actually needs — near-identical vectors
+    co-route (routing is a deterministic function of the vector), so
+    planted duplicates always land in the same cell."""
+    from docling_spark.ops.similarity import (
+        _assign_cells, _assign_cells_hier, _centroid_df, kmeans_lloyd)
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(16, 32) * 4           # separated blobs
+    X = np.vstack([c + rng.randn(40, 32) for c in centers])
+    X[1] = X[0] + 1e-6 * rng.randn(32)        # planted near-dup pair
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents_np = kmeans_lloyd(X, 16, 10, 11)
+    cents_df = _centroid_df(spark, cents_np)
+    flat = {r["vec_id"]: r["cell"] for r in _assign_cells(
+        emb, 16, 32, 11, "vec_id", "embedding", top_n=2,
+        cents=cents_df).filter("rn=1").collect()}
+    hier = {r["vec_id"]: r["cell"] for r in _assign_cells_hier(
+        emb, cents_np, "vec_id", "embedding", "dot", 11).collect()}
+    agree = sum(1 for k in flat if flat[k] == hier[k]) / len(flat)
+    # trained centroids on clustered data: routing mostly matches argmax
+    # (measured 0.77-0.81 at 32 cells/64-dim on blob corpora; isotropic
+    # data with seeded random centroids is the worst case at ~0.3-0.5 —
+    # cells remain a valid deterministic partition either way, which is
+    # all SemDeDup's Σ|cell|² confinement requires)
+    assert agree >= 0.6
+    # the SemDeDup invariant: the near-identical pair co-routes
+    assert hier[0] == hier[1]
